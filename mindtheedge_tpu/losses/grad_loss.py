@@ -1,0 +1,156 @@
+"""Edge-aware gradient loss — the paper's core contribution, in-graph.
+
+Functional re-implementation of reference ``losses/grad_loss.py``:
+
+* ``grad_layer``: fixed 3x3 Sobel kernels (v/h + two diagonals); without
+  normals -> gradient magnitude; with normals -> per-pixel directional
+  derivative selected by the normal-angle bucket (``grad_loss.py:65-95``).
+* ``class_balanced_bce``: per-sample class-balanced weighted BCE
+  (``comp_cross_entropy``, ``grad_loss.py:161-219``).
+* ``attention_loss2`` / spatially-adaptive variant (``attention_loss.py:21-49``).
+* ``dice`` variant (``grad_loss.py:150-156``).
+* ``grad_loss``: resize pred to GT size -> optional grad -> optional
+  ``sigmoid(grad - thresh)`` -> loss (``grad_loss.py:122-159``).
+
+All fused into the train step; no host round-trips, no pinned CUDA buffers.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mindtheedge_tpu.ops.edge_ops import (
+    conv2_single, SOBEL3_V, SOBEL3_H, SOBEL3_LR, SOBEL3_RL)
+from mindtheedge_tpu.utils.image import rgb_to_gray, resize_bilinear, box_filter_15
+
+
+def _conv3(x, kernel):
+    """3x3 fixed-kernel conv with zero padding on [B,H,W,1] (torch F.conv2d)."""
+    return conv2_single(x[..., 0], kernel, reflect=False)[..., None]
+
+
+def grad_layer(x, normal=None):
+    """Sobel gradient magnitude or normal-directed derivative.
+
+    x: [B,H,W,1] (or [B,H,W,3], converted to gray).
+    normal: optional [B,H,W,1] angle map in radians in [-pi, pi].
+    Returns (magnitude, x_v, x_h).
+    """
+    if x.shape[-1] == 3:
+        x = rgb_to_gray(x)
+    x_v = _conv3(x, SOBEL3_V)
+    x_h = _conv3(x, SOBEL3_H)
+    if normal is None:
+        mag = jnp.sqrt(x_v ** 2 + x_h ** 2 + 1e-6)
+        return mag, x_v, x_h
+
+    x_lr = _conv3(x, SOBEL3_LR)
+    x_rl = _conv3(x, SOBEL3_RL)
+    pi = np.pi
+    mag = jnp.abs(x_h)
+    in_range = lambda lo, hi: (normal >= lo) & (normal < hi)
+    range_v = in_range(-5 * pi / 8, -3 * pi / 8) | in_range(3 * pi / 8, 5 * pi / 8)
+    range_rl = in_range(-7 * pi / 8, -5 * pi / 8) | in_range(1 * pi / 8, 3 * pi / 8)
+    range_lr = in_range(-3 * pi / 8, -1 * pi / 8) | in_range(5 * pi / 8, 7 * pi / 8)
+    mag = jnp.where(range_v, jnp.abs(x_v), mag)
+    mag = jnp.where(range_rl, jnp.abs(x_rl), mag)
+    mag = jnp.where(range_lr, jnp.abs(x_lr), mag)
+    return mag, x_v, x_h
+
+
+def class_balanced_bce(prob, gt_edge, gt_mask=None, pos_to_neg_weight=1.0):
+    """Per-sample class-balanced weighted BCE (``grad_loss.py:161-219``).
+
+    prob, gt_edge: [B,H,W,1]; gt_mask: optional binary [B,H,W,1] (loss masked
+    out where 0, normalizer = number of valid pixels).
+    """
+    if gt_mask is None:
+        mask = jnp.ones_like(gt_edge)
+        valid_pixels = jnp.asarray(float(np.prod(gt_edge.shape)))
+    else:
+        mask = gt_mask
+        valid_pixels = jnp.sum(mask)
+
+    pos_loss = -gt_edge * jnp.log(prob + 0.001)
+    neg_mask = 1.0 - gt_edge
+    neg_loss = -neg_mask * jnp.log(1.0 - prob + 0.001)
+    if gt_mask is not None:
+        pos_loss = pos_loss * mask
+        neg_loss = neg_loss * mask
+
+    axes = (1, 2, 3)
+    weights_pos = jnp.sum(gt_edge * mask, axis=axes)
+    weights_neg = jnp.sum(neg_mask * mask, axis=axes)
+    alpha = jnp.where(jnp.sum(weights_neg) == 0,
+                      jnp.ones_like(weights_neg),
+                      weights_neg / jnp.maximum(weights_pos + weights_neg, 1e-12))
+
+    per_sample = pos_to_neg_weight * alpha * jnp.sum(pos_loss, axis=axes) + \
+        (1.0 - alpha) * jnp.sum(neg_loss, axis=axes)
+    return jnp.sum(per_sample) / jnp.maximum(valid_pixels, 1.0)
+
+
+def attention_loss2(prob, target, mask=None, spatially_adaptive=False):
+    """AF-style focal BCE (``attention_loss.py:21-49``)."""
+    eps = 1e-14
+    if not spatially_adaptive:
+        num_pos = jnp.sum(target == 1).astype(jnp.float32)
+        num_neg = jnp.sum(target == 0).astype(jnp.float32)
+        alpha = num_neg / jnp.maximum(num_pos + num_neg, 1.0)
+    else:
+        pos_alpha = box_filter_15(target) / 225.0
+        neg_alpha = 1.0 - pos_alpha
+        alpha = jnp.where(neg_alpha >= 1.0 - eps, 0.5, neg_alpha)
+
+    p = jnp.clip(prob, eps, 1.0 - eps)
+    import jax
+    weight = target * alpha * (4.0 ** jnp.sqrt(1.0 - p)) + \
+        (1.0 - target) * (1.0 - alpha) * (4.0 ** jnp.sqrt(p))
+    weight = jax.lax.stop_gradient(weight)
+    if mask is not None:
+        weight = weight * mask
+    bce = -(target * jnp.log(p) + (1.0 - target) * jnp.log(1.0 - p))
+    return jnp.mean(weight * bce)
+
+
+def dice_loss(prob, gt_edge):
+    """Inverse-dice term with the 1000x weight (``grad_loss.py:150-156``)."""
+    numel = float(np.prod(gt_edge.shape))
+    return 1000.0 * ((jnp.sum(prob ** 2) + jnp.sum(gt_edge ** 2) + 1e-4) /
+                     (2.0 * jnp.sum(prob * gt_edge) + 1e-4)) / numel
+
+
+def grad_loss(output, gt_edge, gt_mask=None, is_grad=True, is_sigmoid=True,
+              sigmoid_thresh=4.0, gt_normals=None,
+              edge_loss_type='cross_entropy', weight=1.0,
+              pos_to_neg_weight=1.0):
+    """Full GradLoss forward (``grad_loss.py:122-159``).
+
+    output: [B,h,w,1] predicted depth (or probability when is_grad=False);
+    gt_edge: [B,H,W,1].  Returns (loss, output_grad).
+    """
+    gt_h, gt_w = gt_edge.shape[1], gt_edge.shape[2]
+    if output.shape[1] != gt_h or output.shape[2] != gt_w:
+        output = resize_bilinear(output, (gt_h, gt_w), align_corners=False)
+
+    if is_grad:
+        output_grad, _, _ = grad_layer(output, gt_normals)
+    else:
+        output_grad = output
+
+    if is_sigmoid:
+        prob = jnp.asarray(1.0) / (1.0 + jnp.exp(-(output_grad - sigmoid_thresh)))
+    else:
+        prob = output_grad
+
+    edge_loss = 0.0
+    if 'cross_entropy' in edge_loss_type:
+        edge_loss = class_balanced_bce(prob, gt_edge, gt_mask, pos_to_neg_weight)
+    if 'attention_loss' in edge_loss_type:
+        edge_loss = attention_loss2(prob, gt_edge, gt_mask, False)
+    if 'spatially_adaptive' in edge_loss_type:
+        edge_loss = attention_loss2(prob, gt_edge, gt_mask, True)
+    if 'dice' in edge_loss_type:
+        edge_loss = edge_loss + dice_loss(prob, gt_edge)
+
+    import jax
+    return weight * jnp.mean(edge_loss), jax.lax.stop_gradient(output_grad)

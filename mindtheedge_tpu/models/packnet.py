@@ -1,0 +1,165 @@
+"""PackNet-SAN depth network, TPU-native (flax / NHWC / bf16-ready).
+
+Re-design of the reference workhorse net ``networks/depth/PackNetSAN01.py``
+(the net used by all three shipped configs).  Architecture hyper-parameters
+(channel widths 32/32/64/128/256/512, blocks [2,2,3,3], pack kernels
+[5,3,3,3,3], num_3d_feat=4) follow ``PackNetSAN01.py:179-184``.
+
+Differences from the reference (deliberate, documented):
+* NHWC layout (TPU conv layout) instead of NCHW, with torch-compatible
+  channel ordering inside pack/unpack so checkpoints port exactly.
+* The MinkowskiEngine SAN branch is replaced by the masked-dense
+  ``SparseDepthEncoder`` (see ``mindtheedge_tpu/ops/sparse.py``).
+* The reference's ``is_depth_aux_net`` ctor flag is stored properly (the
+  reference forgets ``self.`` at ``PackNetSAN01.py:170-172`` — a latent
+  AttributeError we do not replicate).
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from mindtheedge_tpu.ops.blocks import (
+    ConvBlock, ResidualBlock, InvDepthHead, PackLayerConv3d, UnpackLayerConv3d)
+from mindtheedge_tpu.ops.packing import upsample_nearest2x
+from mindtheedge_tpu.ops.sparse import SparseDepthEncoder
+
+# Encoder/decoder widths (PackNetSAN01.py:179-184)
+NI, N1, N2, N3, N4, N5 = 32, 32, 64, 128, 256, 512
+NUM_BLOCKS = (2, 2, 3, 3)
+PACK_KERNEL = (5, 3, 3, 3, 3)
+UNPACK_KERNEL = (3, 3, 3, 3, 3)
+ICONV_KERNEL = (3, 3, 3, 3, 3)
+NUM_3D_FEAT = 4
+
+
+class PackNetSlimEncoder(nn.Module):
+    """Reference ``PackNetSlimEnc01`` (``PackNetSAN01.py:22-61``)."""
+    dropout: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, rgb, train: bool = False):
+        x = ConvBlock(NI, 5, 1, name='pre_calc')(rgb)
+        x1 = ConvBlock(N1, 7, 1, name='conv1')(x)
+        x1p = PackLayerConv3d(N1, PACK_KERNEL[0], d=NUM_3D_FEAT, name='pack1')(x1)
+        x2 = ResidualBlock(N2, NUM_BLOCKS[0], 1, self.dropout, name='conv2')(x1p, train)
+        x2p = PackLayerConv3d(N2, PACK_KERNEL[1], d=NUM_3D_FEAT, name='pack2')(x2)
+        x3 = ResidualBlock(N3, NUM_BLOCKS[1], 1, self.dropout, name='conv3')(x2p, train)
+        x3p = PackLayerConv3d(N3, PACK_KERNEL[2], d=NUM_3D_FEAT, name='pack3')(x3)
+        x4 = ResidualBlock(N4, NUM_BLOCKS[2], 1, self.dropout, name='conv4')(x3p, train)
+        x4p = PackLayerConv3d(N4, PACK_KERNEL[3], d=NUM_3D_FEAT, name='pack4')(x4)
+        x5 = ResidualBlock(N5, NUM_BLOCKS[3], 1, self.dropout, name='conv5')(x4p, train)
+        x5p = PackLayerConv3d(N5, PACK_KERNEL[4], d=NUM_3D_FEAT, name='pack5')(x5)
+        return x5p, [x, x1p, x2p, x3p, x4p]
+
+
+class PackNetDecoder(nn.Module):
+    """Reference ``Decoder`` (``PackNetSAN01.py:64-152``); version A = concat skips."""
+    out_channels: int = 1
+    version: str = 'A'
+
+    @nn.compact
+    def __call__(self, x5p, skips):
+        skip1, skip2, skip3, skip4, skip5 = skips
+        cat = (lambda a, b: jnp.concatenate([a, b], axis=-1)) if self.version == 'A' \
+            else (lambda a, b: a + b)
+
+        unpack5 = UnpackLayerConv3d(N5, UNPACK_KERNEL[0], d=NUM_3D_FEAT, name='unpack5')(x5p)
+        iconv5 = ConvBlock(N5, ICONV_KERNEL[0], 1, name='iconv5')(cat(unpack5, skip5))
+
+        unpack4 = UnpackLayerConv3d(N4, UNPACK_KERNEL[1], d=NUM_3D_FEAT, name='unpack4')(iconv5)
+        iconv4 = ConvBlock(N4, ICONV_KERNEL[1], 1, name='iconv4')(cat(unpack4, skip4))
+        inv_depth4 = InvDepthHead(self.out_channels, name='disp4_layer')(iconv4)
+        up4 = upsample_nearest2x(inv_depth4)
+
+        unpack3 = UnpackLayerConv3d(N3, UNPACK_KERNEL[2], d=NUM_3D_FEAT, name='unpack3')(iconv4)
+        iconv3 = ConvBlock(N3, ICONV_KERNEL[2], 1, name='iconv3')(
+            jnp.concatenate([cat(unpack3, skip3), up4], axis=-1))
+        inv_depth3 = InvDepthHead(self.out_channels, name='disp3_layer')(iconv3)
+        up3 = upsample_nearest2x(inv_depth3)
+
+        unpack2 = UnpackLayerConv3d(N2, UNPACK_KERNEL[3], d=NUM_3D_FEAT, name='unpack2')(iconv3)
+        iconv2 = ConvBlock(N2, ICONV_KERNEL[3], 1, name='iconv2')(
+            jnp.concatenate([cat(unpack2, skip2), up3], axis=-1))
+        inv_depth2 = InvDepthHead(self.out_channels, name='disp2_layer')(iconv2)
+        up2 = upsample_nearest2x(inv_depth2)
+
+        unpack1 = UnpackLayerConv3d(N1, UNPACK_KERNEL[4], d=NUM_3D_FEAT, name='unpack1')(iconv2)
+        iconv1 = ConvBlock(N1, ICONV_KERNEL[4], 1, name='iconv1')(
+            jnp.concatenate([cat(unpack1, skip1), up2], axis=-1))
+        inv_depth1 = InvDepthHead(self.out_channels, name='disp1_layer')(iconv1)
+
+        return [inv_depth1, inv_depth2, inv_depth3, inv_depth4]
+
+
+class PackNetSAN(nn.Module):
+    """PackNet-SAN (reference ``PackNetSAN01``, ``PackNetSAN01.py:155-349``).
+
+    ``__call__(rgb, input_depth=None, rgb_edge=None, train=False)`` follows the
+    reference forward contract (``:274-349``):
+
+    * eval: single pass; if ``input_channels==4`` the rgb_edge map is
+      concatenated as a 4th input channel and multiplies ``inv_depths[0]``.
+    * train without lidar: RGB pass only -> ``{'inv_depths'}``.
+    * train with lidar: RGB pass + RGBD(SAN-fused) pass ->
+      ``{'inv_depths', 'inv_depths_rgbd', 'depth_loss'}`` where depth_loss is
+      the mean L2 between the two passes' skip features (rgbd detached).
+    """
+    version: str = '1A'
+    dropout: Optional[float] = None
+    input_channels: int = 3
+    output_channels: int = 1
+    freeze_encoder: bool = False   # enforced by the optimizer partition, not here
+    freeze_decoder: bool = False
+    freeze_san: bool = False
+
+    def setup(self):
+        self.encoder = PackNetSlimEncoder(dropout=self.dropout)
+        self.decoder = PackNetDecoder(out_channels=self.output_channels,
+                                      version=self.version[1:] or 'A')
+        self.mconvs = SparseDepthEncoder(channels=(N1, N2, N3, N4, N5))
+        # Learnable per-level fusion scale/shift (PackNetSAN01.py:209-210)
+        self.weight = self.param('weight', nn.initializers.ones, (5,), jnp.float32)
+        self.bias = self.param('bias', nn.initializers.zeros, (5,), jnp.float32)
+
+    def run_network(self, rgb, input_depth=None, train=False):
+        x5p, skips = self.encoder(rgb, train=train)
+        if input_depth is not None:
+            san = self.mconvs(input_depth, train=train)
+            w, b = self.weight, self.bias
+            for i in range(4):
+                skips[i + 1] = skips[i + 1] * w[i] + san[i] + b[i]
+            x5p = x5p * w[4] + san[4] + b[4]
+        inv_depths = self.decoder(x5p, skips)
+        return inv_depths, skips + [x5p]
+
+    def __call__(self, rgb, input_depth=None, rgb_edge=None, train=False, **kwargs):
+        if self.input_channels == 4:
+            net_in = jnp.concatenate([rgb, rgb_edge], axis=-1)
+        else:
+            net_in = rgb
+
+        if not train:
+            inv_depths, _ = self.run_network(net_in, input_depth, train=False)
+            if self.input_channels == 4:
+                inv_depths[0] = inv_depths[0] * rgb_edge
+            return {'inv_depths': inv_depths}
+
+        inv_depths_rgb, skip_feat_rgb = self.run_network(net_in, None, train=True)
+        output = {'inv_depths': inv_depths_rgb}
+        if input_depth is None:
+            return output
+
+        inv_depths_rgbd, skip_feat_rgbd = self.run_network(net_in, input_depth, train=True)
+        output['inv_depths_rgbd'] = inv_depths_rgbd
+        # Feature-consistency loss between RGB and RGBD passes
+        # (PackNetSAN01.py:335-338); rgbd features are the teacher (detached).
+        loss = sum(
+            jnp.mean((jax.lax.stop_gradient(srgbd.astype(jnp.float32))
+                      - srgb.astype(jnp.float32)) ** 2)
+            for srgbd, srgb in zip(skip_feat_rgbd, skip_feat_rgb)
+        ) / len(skip_feat_rgbd)
+        output['depth_loss'] = loss
+        return output

@@ -1,0 +1,188 @@
+"""PackNet building blocks as flax modules (NHWC, bf16-friendly).
+
+TPU-native re-design of the reference PackNet primitives
+(``networks/layers/packnet/layers01.py``):
+
+* ``ConvBlock``   == reference ``Conv2D`` (:11-38): pad k//2 -> conv -> GroupNorm(16) -> ELU
+* ``ResidualConv``/``residual_block`` (:41-96)
+* ``InvDepthHead`` == ``InvDepth`` (:99-123): 3x3 conv -> sigmoid / min_depth
+* ``PackLayerConv3d`` (:214-248) / ``UnpackLayerConv3d`` (:251-287): the
+  signature PackNet space-to-depth + 3D-conv ops, expressed as reshape/
+  transpose + ``lax.conv_general_dilated`` so XLA tiles them onto the MXU.
+
+All convs use xavier-uniform init + zero bias, matching the reference's
+``init_weights`` (``PackNetSAN01.py:214-220``).
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from mindtheedge_tpu.ops.packing import pack2d, unpack2d
+
+_xavier = nn.initializers.xavier_uniform()
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm with exact torch semantics (contiguous channel groups,
+    per-(sample, group) statistics over (H, W, C/G), eps 1e-5, fp32 stats)."""
+    num_groups: int = 16
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        g = self.num_groups
+        assert c % g == 0, f'channels {c} not divisible by {g} groups'
+        scale = self.param('scale', nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (c,), jnp.float32)
+        b = x.shape[0]
+        xf = x.astype(jnp.float32).reshape(b, -1, g, c // g)
+        mean = xf.mean(axis=(1, 3), keepdims=True)
+        var = ((xf - mean) ** 2).mean(axis=(1, 3), keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y.reshape(x.shape) * scale + bias
+        return y.astype(x.dtype)
+
+
+class ConvBlock(nn.Module):
+    """Conv(k, stride, SAME-zero-pad) + GroupNorm(16) + ELU."""
+    out_channels: int
+    kernel_size: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.kernel_size // 2
+        x = nn.Conv(self.out_channels, (self.kernel_size, self.kernel_size),
+                    strides=(self.stride, self.stride),
+                    padding=[(p, p), (p, p)],
+                    kernel_init=_xavier, name='conv')(x)
+        x = GroupNorm(num_groups=16, epsilon=1e-5, name='norm')(x)
+        return nn.elu(x)
+
+
+class ResidualConv(nn.Module):
+    """Two ConvBlocks + 1x1-conv shortcut, GroupNorm(16) + ELU on the sum.
+
+    ``dropout`` applies channel-wise Dropout2d on the shortcut path, as in the
+    reference (``layers01.py:65-66``).
+    """
+    out_channels: int
+    stride: int = 1
+    dropout: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = ConvBlock(self.out_channels, 3, self.stride, name='conv1')(x)
+        y = ConvBlock(self.out_channels, 3, 1, name='conv2')(y)
+        shortcut = nn.Conv(self.out_channels, (1, 1),
+                           strides=(self.stride, self.stride),
+                           kernel_init=_xavier, name='conv3')(x)
+        if self.dropout:
+            shortcut = nn.Dropout(rate=self.dropout,
+                                  broadcast_dims=(1, 2),  # whole-channel drop (Dropout2d)
+                                  deterministic=not train)(shortcut)
+        out = GroupNorm(num_groups=16, epsilon=1e-5, name='norm')(y + shortcut)
+        return nn.elu(out)
+
+
+class ResidualBlock(nn.Module):
+    """Stack of ResidualConvs; first may change channels (``layers01.py:76-96``)."""
+    out_channels: int
+    num_blocks: int
+    stride: int = 1
+    dropout: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ResidualConv(self.out_channels, self.stride, self.dropout,
+                         name='block0')(x, train)
+        for i in range(1, self.num_blocks):
+            x = ResidualConv(self.out_channels, 1, self.dropout,
+                             name=f'block{i}')(x, train)
+        return x
+
+
+class InvDepthHead(nn.Module):
+    """3x3 conv -> sigmoid / min_depth; inverse-depth in (0, 1/min_depth)."""
+    out_channels: int = 1
+    min_depth: float = 0.5
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                    kernel_init=_xavier, name='conv1')(x)
+        return nn.sigmoid(x) / self.min_depth
+
+
+def _conv3d_over_channels(x, kernel):
+    """3x3x3 conv over (channel-as-depth, H, W) with 1 input feature.
+
+    x: [B,H,W,D]  kernel: [3,3,3,1,d]  ->  [B,H,W,d*D] flattened so that the
+    output channel index is feat*D + depth, matching the reference's
+    ``x.view(b, c*d, h, w)`` (``layers01.py:245-246``).
+    """
+    b, h, w, d_depth = x.shape
+    d_feat = kernel.shape[-1]
+    # NDHWC with D = channel axis
+    xv = x.transpose(0, 3, 1, 2)[..., None]               # [B,D,H,W,1]
+    y = jax.lax.conv_general_dilated(
+        xv, kernel.astype(x.dtype),
+        window_strides=(1, 1, 1),
+        padding=[(1, 1), (1, 1), (1, 1)],
+        dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'))    # [B,D,H,W,d]
+    y = y.transpose(0, 2, 3, 4, 1)                        # [B,H,W,d,D]
+    return y.reshape(b, h, w, d_feat * d_depth)
+
+
+class Conv3dOverChannels(nn.Module):
+    """Parameter holder for the 3D conv used by Pack/Unpack layers."""
+    d: int = 8
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param('kernel', _xavier, (3, 3, 3, 1, self.d), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (self.d,), jnp.float32)
+        y = _conv3d_over_channels(x, kernel)
+        b, h, w, _ = y.shape
+        d_depth = x.shape[-1]
+        y = y.reshape(b, h, w, self.d, d_depth) + bias.astype(y.dtype)[None, None, None, :, None]
+        return y.reshape(b, h, w, self.d * d_depth)
+
+
+class PackLayerConv3d(nn.Module):
+    """pack(r=2) -> 3D conv(1->d) over channels -> ConvBlock back to C.
+
+    Reference ``layers01.py:214-248``.
+    """
+    in_channels: int
+    kernel_size: int
+    r: int = 2
+    d: int = 8
+
+    @nn.compact
+    def __call__(self, x):
+        x = pack2d(x, self.r)
+        x = Conv3dOverChannels(self.d, name='conv3d')(x)
+        return ConvBlock(self.in_channels, self.kernel_size, 1, name='conv')(x)
+
+
+class UnpackLayerConv3d(nn.Module):
+    """ConvBlock to out*r^2/d -> 3D conv(1->d) -> PixelShuffle(r).
+
+    Reference ``layers01.py:251-287``.
+    """
+    out_channels: int
+    kernel_size: int
+    r: int = 2
+    d: int = 8
+
+    @nn.compact
+    def __call__(self, x):
+        mid = self.out_channels * self.r ** 2 // self.d
+        x = ConvBlock(mid, self.kernel_size, 1, name='conv')(x)
+        x = Conv3dOverChannels(self.d, name='conv3d')(x)
+        return unpack2d(x, self.r)

@@ -1,0 +1,151 @@
+"""Masked-dense sparse convolution ops — TPU-native MinkowskiEngine replacement.
+
+The reference's SAN branch uses MinkowskiEngine C++/CUDA sparse convolutions
+over valid-LIDAR coordinates (``networks/layers/minkowski.py``,
+``minkowski_encoder.py``).  On TPU, gather/scatter sparse kernels map poorly
+to the MXU at these densities (LIDAR covers ~5% of pixels, and after one
+stride-2 pooling the active set grows fast), so we keep tensors dense and
+carry an explicit activity mask, preserving the sparse semantics exactly:
+
+* sparse conv == ``conv2d(x * mask)`` read at active sites (inactive inputs
+  contribute zero, exactly like coordinate-set sparse convs; ME convs have no
+  bias by default).
+* ``MinkowskiBatchNorm`` == batch-norm whose statistics are computed over
+  active sites only (masked mean/var, running stats for eval).
+* ``MinkowskiMaxPooling(3, stride=2)`` == 3x3/2 max-pool over ``-inf``-masked
+  inputs; an output site is active iff any input in its 2x2 stride cell is
+  active (ME generates output coords by stride-snapping input coords).
+
+Everything stays dense NHWC, so XLA fuses the whole ladder.
+"""
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+_xavier = nn.initializers.xavier_uniform()
+
+
+def masked_max_pool_3x3_s2(x, mask):
+    """3x3 stride-2 max-pool over active sites; returns (pooled, new_mask).
+
+    ``x``: [B,H,W,C]; ``mask``: [B,H,W,1] in {0,1}.
+    Output site (i,j) is active iff any input in its 2x2 stride cell
+    {2i,2i+1}x{2j,2j+1} is active; its value is the max over *active* inputs
+    in the centered 3x3 window (inactive inputs masked to -inf).
+    """
+    neg = jnp.asarray(-3.4e38, dtype=x.dtype)
+    x_masked = jnp.where(mask > 0, x, neg)
+    pooled = jax.lax.reduce_window(
+        x_masked, neg, jax.lax.max,
+        window_dimensions=(1, 3, 3, 1), window_strides=(1, 2, 2, 1),
+        padding=((0, 0), (1, 1), (1, 1), (0, 0)))
+    # Output coords exist where the 2x2 stride cell holds an active input.
+    cell = jax.lax.reduce_window(
+        mask, 0., jax.lax.max,
+        window_dimensions=(1, 2, 2, 1), window_strides=(1, 2, 2, 1),
+        padding=((0, 0), (0, 1), (0, 1), (0, 0)))
+    new_mask = (cell > 0).astype(x.dtype)
+    pooled = jnp.where(new_mask > 0, pooled, 0.).astype(x.dtype)
+    return pooled, new_mask
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm with statistics over active sites only (sparse BN semantics)."""
+    momentum: float = 0.9   # torch BatchNorm default momentum=0.1 -> decay 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool = False):
+        c = x.shape[-1]
+        scale = self.param('scale', nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable('batch_stats', 'mean',
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable('batch_stats', 'var',
+                               lambda: jnp.ones((c,), jnp.float32))
+
+        if train:
+            m = mask.astype(jnp.float32)
+            count = jnp.maximum(m.sum(), 1.0)
+            xf = x.astype(jnp.float32) * m
+            mean = xf.sum(axis=(0, 1, 2)) / count
+            var = ((x.astype(jnp.float32) - mean) ** 2 * m).sum(axis=(0, 1, 2)) / count
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        y = (x.astype(jnp.float32) - mean) * inv * scale + bias
+        return (y * mask).astype(x.dtype)
+
+
+class SparseConv(nn.Module):
+    """Stride-1 coordinate-preserving sparse conv (no bias, like ME convs)."""
+    out_channels: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, x, mask):
+        p = self.kernel_size // 2
+        y = nn.Conv(self.out_channels, (self.kernel_size, self.kernel_size),
+                    padding=[(p, p), (p, p)], use_bias=False,
+                    kernel_init=_xavier, name='conv')(x * mask)
+        return y * mask
+
+
+class MinkConvBlock(nn.Module):
+    """One SAN ladder level (reference ``MinkConv2D``, ``minkowski_encoder.py:11-86``).
+
+    3x3/2 max-pool, then three parallel sparse-conv stacks (1/2/3 convs)
+    summed, then masked BN + ReLU.
+    """
+    out_channels: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool = False):
+        x, mask = masked_max_pool_3x3_s2(x, mask)
+        k, c = self.kernel_size, self.out_channels
+
+        x1 = SparseConv(c, k, name='layer1_0')(x, mask)
+
+        x2 = SparseConv(2 * c, k, name='layer2_0')(x, mask)
+        x2 = MaskedBatchNorm(name='layer2_bn0')(x2, mask, train)
+        x2 = nn.relu(x2) * mask
+        x2 = SparseConv(c, k, name='layer2_1')(x2, mask)
+
+        x3 = SparseConv(2 * c, k, name='layer3_0')(x, mask)
+        x3 = MaskedBatchNorm(name='layer3_bn0')(x3, mask, train)
+        x3 = nn.relu(x3) * mask
+        x3 = SparseConv(2 * c, k, name='layer3_1')(x3, mask)
+        x3 = MaskedBatchNorm(name='layer3_bn1')(x3, mask, train)
+        x3 = nn.relu(x3) * mask
+        x3 = SparseConv(c, k, name='layer3_2')(x3, mask)
+
+        y = MaskedBatchNorm(name='final_bn')(x1 + x2 + x3, mask, train)
+        y = nn.relu(y) * mask
+        return y, mask
+
+
+class SparseDepthEncoder(nn.Module):
+    """The SAN ladder (reference ``MinkowskiEncoder``, ``minkowski_encoder.py:89-132``).
+
+    Takes the sparse input depth [B,H,W,1] and returns the 5 densified
+    feature maps (one per skip level, strides 2..32).  The reference's
+    stateful ``prep``/call-advances protocol becomes an explicit loop.
+    """
+    channels: tuple = (32, 64, 128, 256, 512)
+
+    @nn.compact
+    def __call__(self, depth, train: bool = False):
+        mask = (depth > 0).astype(depth.dtype)
+        x = depth
+        kernel_sizes = [5, 5] + [3] * (len(self.channels) - 1)
+        outs = []
+        for i, c in enumerate(self.channels):
+            x, mask = MinkConvBlock(c, kernel_sizes[i], name=f'mconv{i}')(x, mask, train)
+            outs.append(x)   # densified: zeros at inactive sites already
+        return outs

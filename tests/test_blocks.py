@@ -1,0 +1,61 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+from mindtheedge_tpu.ops.blocks import ConvBlock, Conv3dOverChannels
+
+
+def _port_conv(params_conv, tconv):
+    """Copy torch conv weights into a flax conv param dict (NHWC kernel)."""
+    params_conv['kernel'] = jnp.asarray(
+        tconv.weight.detach().numpy().transpose(2, 3, 1, 0))
+    if tconv.bias is not None:
+        params_conv['bias'] = jnp.asarray(tconv.bias.detach().numpy())
+
+
+def test_convblock_matches_torch_conv_gn_elu():
+    """ConvBlock == pad(k//2) -> Conv2d -> GroupNorm(16) -> ELU (layers01.py:11-38)."""
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 16, 20, 32).astype(np.float32)
+
+    tconv = nn.Conv2d(32, 64, kernel_size=5, stride=1)
+    tnorm = nn.GroupNorm(16, 64)
+    with torch.no_grad():
+        tnorm.weight.uniform_(0.5, 1.5)
+        tnorm.bias.uniform_(-0.5, 0.5)
+    tx = torch.from_numpy(x).permute(0, 3, 1, 2)
+    ty = F.elu(tnorm(tconv(F.pad(tx, [2] * 4)))).permute(0, 2, 3, 1).detach().numpy()
+
+    mod = ConvBlock(64, 5, 1)
+    params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))['params']
+    _port_conv(params['conv'], tconv)
+    params['norm']['scale'] = jnp.asarray(tnorm.weight.detach().numpy())
+    params['norm']['bias'] = jnp.asarray(tnorm.bias.detach().numpy())
+    jy = np.asarray(mod.apply({'params': params}, jnp.asarray(x)))
+
+    np.testing.assert_allclose(jy, ty, rtol=1e-4, atol=1e-4)
+
+
+def test_conv3d_over_channels_matches_torch_conv3d():
+    """The pack-layer 3D conv flatten order must match layers01.py:240-248."""
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 6, 8, 12).astype(np.float32)   # NHWC, D=12 channels
+    d = 4
+
+    tconv = nn.Conv3d(1, d, kernel_size=3, padding=1)
+    tx = torch.from_numpy(x).permute(0, 3, 1, 2).unsqueeze(1)  # [B,1,D,H,W]
+    ty = tconv(tx)
+    b, c, dd, h, w = ty.shape
+    ty = ty.reshape(b, c * dd, h, w).permute(0, 2, 3, 1).detach().numpy()
+
+    mod = Conv3dOverChannels(d)
+    params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))['params']
+    params['kernel'] = jnp.asarray(
+        tconv.weight.detach().numpy().transpose(2, 3, 4, 1, 0))
+    params['bias'] = jnp.asarray(tconv.bias.detach().numpy())
+    jy = np.asarray(mod.apply({'params': params}, jnp.asarray(x)))
+
+    np.testing.assert_allclose(jy, ty, rtol=1e-4, atol=1e-4)
