@@ -34,17 +34,36 @@ def masked_max_pool_3x3_s2(x, mask):
     {2i,2i+1}x{2j,2j+1} is active; its value is the max over *active* inputs
     in the centered 3x3 window (inactive inputs masked to -inf).
     """
-    neg = jnp.asarray(-3.4e38, dtype=x.dtype)
+    b, h, w, c = x.shape
+    h_out, w_out = (h + 1) // 2, (w + 1) // 2
+    neg = jnp.asarray(-jnp.inf, dtype=x.dtype)
     x_masked = jnp.where(mask > 0, x, neg)
-    pooled = jax.lax.reduce_window(
-        x_masked, neg, jax.lax.max,
-        window_dimensions=(1, 3, 3, 1), window_strides=(1, 2, 2, 1),
-        padding=((0, 0), (1, 1), (1, 1), (0, 0)))
+    # Differentiable 3x3/2 max-pool as a chain of 9 shifted-slice maxima
+    # (reduce_window max has no reverse-mode rule on this backend; an
+    # elementwise-max chain fuses in XLA and differentiates exactly).
+    xp = jnp.pad(x_masked, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                 constant_values=-jnp.inf)
+    pooled = None
+    for di in range(3):
+        for dj in range(3):
+            sl = jax.lax.slice(
+                xp, (0, di, dj, 0),
+                (b, di + 2 * (h_out - 1) + 1, dj + 2 * (w_out - 1) + 1, c),
+                (1, 2, 2, 1))
+            pooled = sl if pooled is None else jnp.maximum(pooled, sl)
     # Output coords exist where the 2x2 stride cell holds an active input.
-    cell = jax.lax.reduce_window(
-        mask, 0., jax.lax.max,
-        window_dimensions=(1, 2, 2, 1), window_strides=(1, 2, 2, 1),
-        padding=((0, 0), (0, 1), (0, 1), (0, 0)))
+    # (mask carries no gradient — it derives from lidar validity.)
+    hard_mask = jax.lax.stop_gradient(mask)
+    mp = jnp.pad(hard_mask, ((0, 0), (0, h_out * 2 - h), (0, w_out * 2 - w),
+                             (0, 0)))
+    cell = None
+    for di in range(2):
+        for dj in range(2):
+            sl = jax.lax.slice(
+                mp, (0, di, dj, 0),
+                (b, di + 2 * (h_out - 1) + 1, dj + 2 * (w_out - 1) + 1, 1),
+                (1, 2, 2, 1))
+            cell = sl if cell is None else jnp.maximum(cell, sl)
     new_mask = (cell > 0).astype(x.dtype)
     pooled = jnp.where(new_mask > 0, pooled, 0.).astype(x.dtype)
     return pooled, new_mask

@@ -1,0 +1,133 @@
+"""Checkpointing with the reference's contract: config-in-ckpt, top-k,
+edge-F1 filenames, periodic retention.
+
+Reference: ``models/model_checkpoint.py`` — each ``.ckpt`` holds
+``{config, epoch, state_dict, optimizer, scheduler}`` (``:71-80``); test-time
+config is recovered from the checkpoint (``utils/config.py:449-486``); top-k
+retention with auto min/max by metric name (``:44-55``); F1 embedded in
+filenames (``:125-149``); non-save_freq epochs deleted (``:184-191``).
+
+Format: a single ``.ckpt`` file = pickled dict with numpy pytrees (portable,
+single-file, config-embedded — like the torch ``.ckpt``).  Orbax is used for
+sharded in-training snapshots when training on a mesh (future work; the
+single-file path is the compatibility contract).
+"""
+
+import os
+import pickle
+
+import numpy as np
+import jax
+
+
+def _to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path, config, state, metrics=None):
+    """Write a single-file checkpoint."""
+    os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
+    payload = {
+        'config': config.to_dict() if hasattr(config, 'to_dict') else dict(config),
+        'epoch': int(state.epoch),
+        'global_step': int(state.step),
+        'state_dict': _to_numpy(state.params),
+        'batch_stats': _to_numpy(state.batch_stats),
+        'optimizer': _to_numpy(state.opt_state),
+        'metrics': metrics or {},
+        'format_version': 1,
+    }
+    tmp = path + '.tmp'
+    with open(tmp, 'wb') as f:
+        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, path)
+    return path
+
+
+def load_checkpoint(path):
+    with open(path, 'rb') as f:
+        return pickle.load(f)
+
+
+def restore_params(ckpt, init_params, strict=False):
+    """Prefix/shape-checked partial restore (reference ``utils/load.py:117-166``).
+
+    Loads every leaf whose path exists in both trees with matching shape;
+    reports counts.  Returns (params, num_loaded, num_total).
+    """
+    flat_init = {jax.tree_util.keystr(kp): v for kp, v in
+                 jax.tree_util.tree_flatten_with_path(init_params)[0]}
+    flat_ckpt = {jax.tree_util.keystr(kp): v for kp, v in
+                 jax.tree_util.tree_flatten_with_path(ckpt)[0]}
+    loaded = 0
+    out = {}
+    for key, init_val in flat_init.items():
+        if key in flat_ckpt and tuple(flat_ckpt[key].shape) == tuple(init_val.shape):
+            out[key] = np.asarray(flat_ckpt[key], dtype=np.asarray(init_val).dtype)
+            loaded += 1
+        else:
+            if strict:
+                raise KeyError(f'Missing or shape-mismatched param {key}')
+            out[key] = init_val
+    # Rebuild the tree
+    treedef = jax.tree_util.tree_structure(init_params)
+    paths = [jax.tree_util.keystr(kp) for kp, _ in
+             jax.tree_util.tree_flatten_with_path(init_params)[0]]
+    leaves = [out[p] for p in paths]
+    return jax.tree_util.tree_unflatten(treedef, leaves), loaded, len(paths)
+
+
+class ModelCheckpoint:
+    """Top-k checkpoint manager (reference ``model_checkpoint.py``)."""
+
+    def __init__(self, filepath, monitor='loss', save_top_k=5, mode='auto',
+                 save_freq=5, monitor_index=0):
+        self.dirpath = filepath
+        self.monitor = monitor
+        self.save_top_k = save_top_k
+        self.save_freq = save_freq
+        self.monitor_index = monitor_index
+        if mode == 'auto':
+            # auto min/max by metric name (model_checkpoint.py:44-55)
+            mode = 'max' if any(k in monitor for k in
+                                ('acc', 'a1', 'a2', 'a3', 'f1', 'precision',
+                                 'recall', 'auc')) else 'min'
+        self.mode = mode
+        self.best = []   # list of (metric, path)
+        os.makedirs(self.dirpath or '.', exist_ok=True)
+
+    def _filename(self, epoch, metrics):
+        parts = [f'epoch={epoch:02d}']
+        if metrics:
+            prec = [v for k, v in metrics.items() if 'precision' in k]
+            rec = [v for k, v in metrics.items() if 'recall' in k]
+            if prec and rec:
+                # edge-F1 in filenames (model_checkpoint.py:125-149)
+                p, r = float(np.mean(prec)), float(np.mean(rec))
+                f1 = 2 * p * r / max(p + r, 1e-12)
+                parts.append(f'f1={f1:.4f}')
+            if self.monitor in metrics:
+                parts.append(f'{self.monitor.replace("/", "-")}='
+                             f'{float(metrics[self.monitor]):.4f}')
+        base = '_'.join(parts) + '.ckpt'
+        path = os.path.join(self.dirpath, base)
+        while os.path.exists(path):   # collision-avoidance (ref :173-175)
+            path = path[:-5] + 'b.ckpt'
+        return path
+
+    def check_and_save(self, config, state, metrics):
+        path = self._filename(int(state.epoch), metrics)
+        save_checkpoint(path, config, state, metrics)
+        value = float(metrics.get(self.monitor, np.nan)) if metrics else np.nan
+        self.best.append((value, path))
+        if self.save_top_k and self.save_top_k > 0 and not np.isnan(value):
+            reverse = self.mode == 'max'
+            ranked = sorted((b for b in self.best if not np.isnan(b[0])),
+                            key=lambda t: t[0], reverse=reverse)
+            for _, stale in ranked[self.save_top_k:]:
+                epoch_match = f'epoch={int(state.epoch):02d}'
+                if os.path.exists(stale) and epoch_match not in stale \
+                        and (int(state.epoch) % max(self.save_freq, 1) != 0):
+                    os.remove(stale)
+                    self.best = [b for b in self.best if b[1] != stale]
+        return path
