@@ -17,46 +17,77 @@ import numpy as np
 
 REFERENCE_EST_IMG_PER_S = 10.0
 H, W = 384, 1280
-BATCH = 8
 WARMUP = 2
 ITERS = 10
 
 
-def main():
+def _setup_cache():
+    import jax
+    try:
+        jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass
+
+
+def _bench(batch, dtype_name):
     import jax
     import jax.numpy as jnp
     from mindtheedge_tpu.models.packnet import PackNetSAN
     from mindtheedge_tpu.utils.depth import inv2depth
     from mindtheedge_tpu.ops.edge_ops import non_max_suppression
 
+    dtype = jnp.bfloat16 if dtype_name == 'bf16' else jnp.float32
     model = PackNetSAN(version='1A')
     rng = np.random.RandomState(0)
-    rgb = jnp.asarray(rng.rand(BATCH, H, W, 3).astype(np.float32))
-    lidar = rng.rand(BATCH, H, W, 1).astype(np.float32) * 80.0
-    lidar[rng.rand(BATCH, H, W, 1) < 0.95] = 0.0
-    lidar = jnp.asarray(lidar)
+    rgb = jnp.asarray(rng.rand(batch, H, W, 3).astype(np.float32)).astype(dtype)
+    lidar = rng.rand(batch, H, W, 1).astype(np.float32) * 80.0
+    lidar[rng.rand(batch, H, W, 1) < 0.95] = 0.0
+    lidar = jnp.asarray(lidar).astype(dtype)
 
+    small = jnp.zeros((1, 64, 128, 3), dtype)
+    small_d = jnp.zeros((1, 64, 128, 1), dtype)
     variables = jax.jit(lambda k, r, d: model.init(k, r, d, train=False))(
-        jax.random.PRNGKey(0), rgb, lidar)
+        jax.random.PRNGKey(0), small, small_d)
+    variables = jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, variables)
 
     @jax.jit
-    def forward(variables, rgb, lidar):
+    def forward(variables, rgb, lidar, carry):
+        # `carry` creates a data dependency between iterations so the chain
+        # cannot be reordered/overlapped, while the single host sync at the
+        # end amortizes the remote-relay round-trip (~25 ms) over all iters.
+        rgb = rgb + (0.0 * carry).astype(rgb.dtype)
         out = model.apply(variables, rgb, lidar, train=False)
-        inv_depth = out['inv_depths'][0][..., 0]
+        inv_depth = out['inv_depths'][0][..., 0].astype(jnp.float32)
         depth = inv2depth(inv_depth)
         prob = jnp.clip(inv_depth / 2.0, 0.0, 1.0)
         edges = non_max_suppression(prob)
-        return depth, edges
+        return depth, edges, depth.mean() + edges.sum()
 
+    carry = jnp.asarray(0.0)
     for _ in range(WARMUP):
-        jax.block_until_ready(forward(variables, rgb, lidar))
+        carry = forward(variables, rgb, lidar, carry)[2]
+    carry = jnp.asarray(float(carry))
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = forward(variables, rgb, lidar)
-    jax.block_until_ready(out)
+        carry = forward(variables, rgb, lidar, carry)[2]
+    checksum = float(carry)   # one sync for the whole chain
     dt = time.perf_counter() - t0
-    ips = BATCH * ITERS / dt
+    assert np.isfinite(checksum)
+    return batch * ITERS / dt
 
+
+def main():
+    _setup_cache()
+    ips = None
+    for batch in (8, 4, 2, 1):
+        try:
+            ips = _bench(batch, 'bf16')
+            break
+        except Exception as e:  # HBM OOM at this batch -> halve
+            if 'RESOURCE_EXHAUSTED' not in str(e) and 'memory' not in str(e).lower():
+                raise
     print(json.dumps({
         'metric': 'depth_edge_inference_images_per_sec_384x1280',
         'value': round(ips, 3),

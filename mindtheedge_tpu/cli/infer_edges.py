@@ -1,0 +1,246 @@
+"""Depth inference over a split file + optional depth/ordinal/edge-AUC
+metrics.  TPU-native port of reference root ``infer_edges.py``.
+
+Key redesign vs the reference's unbatched per-image Python loop
+(``infer_edges.py:115-120``): images are batched and the forward+postprocess
+runs as one jit-compiled program; host IO overlaps device compute via the
+prefetching loader.
+
+Outputs (reference-compatible): per image ``{idx:08d}_regular.npy`` (metric
+depth), ``_regular.png`` (depth/max*255), ``_regular_color.png`` (log-depth
+Spectral colormap), plus ``pred_list.txt``; optional ARE analyzer CSV, D3R,
+and BSDS edge AUC.
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description='PackNet-SAN TPU inference')
+    parser.add_argument('--config', type=str, required=True,
+                        help='Input config (.yaml)')
+    parser.add_argument('--batch', type=int, default=4,
+                        help='Inference batch size (device batching)')
+    return parser.parse_args(argv)
+
+
+def load_model(config, ckpt_state=None):
+    import jax
+    from mindtheedge_tpu.models.tasks import build_task
+    from mindtheedge_tpu.training.checkpoint import restore_params
+
+    task = build_task(config)
+    return task
+
+
+def _read_inputs(line, config, image_shape):
+    """Host-side preprocessing for one split line (columns like GTADataset)."""
+    from mindtheedge_tpu.data.readers import (
+        load_image, read_png_depth, read_npz_depth, read_lidar, process_lidar, GTA_K)
+    from mindtheedge_tpu.data.augmentations import (
+        resize_image, resize_depth_preserve)
+
+    parts = line.strip().split(' ')
+    rgb = load_image(parts[0])
+    original_shape = rgb.size
+    if image_shape:
+        rgb = resize_image(rgb, image_shape)
+    rgb_np = np.asarray(rgb, dtype=np.float32) / 255.0
+
+    lidar_np = None
+    if config.datasets.test.input_depth_type[0] != '' and len(parts) > 3 \
+            and parts[3] not in ('', 'None'):
+        lp = parts[3]
+        ext = lp.rsplit('.', 1)[-1]
+        if ext == 'png':
+            lidar = read_png_depth(lp)
+            lidar[lidar < 0] = 0.0
+        elif ext == 'npz':
+            lidar = read_npz_depth(lp, 'velodyne')
+            lidar[lidar < 0] = 0.0
+        elif ext == 'bin':
+            if config.datasets.test.dataset[0] == 'KITTI':
+                rows = np.fromfile(lp, dtype=np.float32).reshape(-1, 4).astype('int')
+                lidar = np.zeros(original_shape)
+                lidar[rows[:, 1], rows[:, 0]] = rows[:, 2]
+            else:
+                lidar = process_lidar(read_lidar(lp), GTA_K)
+        else:
+            lidar = None
+        if lidar is not None:
+            lidar = resize_depth_preserve(lidar, image_shape)
+            lidar_np = lidar.astype(np.float32)
+
+    rgb_edge_np = None
+    if config.model.depth_net.input_channels == 4 and len(parts) > 5 \
+            and parts[5] not in ('', 'None'):
+        import cv2
+        rp = parts[5]
+        if rp.endswith('.npy'):
+            rgb_edge_np = np.load(rp).astype(np.float32)
+        else:
+            rgb_edge_np = cv2.imread(rp)[:, :, 0].astype(np.float32) / 255.0
+        if rgb_edge_np.ndim == 2:
+            rgb_edge_np = rgb_edge_np[:, :, None]
+    return rgb_np, lidar_np, rgb_edge_np
+
+
+def save_depth_outputs(pred_depth, out_base, save_cfg):
+    """Save npy/png/color outputs (reference ``infer_edges.py:349-366``)."""
+    import cv2
+    pred = np.asarray(pred_depth)
+    cv2.imwrite(out_base + '_regular.png',
+                (pred / max(pred.max(), 1e-12)) * 255)
+    if save_cfg.depth.npz:
+        np.save(out_base + '_regular.npy', pred)
+    # log-depth Spectral colormap
+    import matplotlib.cm as cm
+    import matplotlib as mpl
+    from PIL import Image
+    depth_log = np.log(np.clip(pred, 1e-12, None))
+    depth_log = depth_log - depth_log.min()
+    depth_log = depth_log / max(depth_log.max(), 1e-12)
+    import matplotlib.pyplot as plt
+    mapper = cm.ScalarMappable(norm=mpl.colors.Normalize(0.0, 1.0),
+                               cmap=plt.get_cmap('Spectral'))
+    colormapped = (mapper.to_rgba(depth_log)[:, :, :3] * 255).astype(np.uint8)
+    Image.fromarray(colormapped).save(out_base + '_regular_color.png')
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+    from mindtheedge_tpu.config import parse_test_file, get_cfg_defaults, prepare_config
+    from mindtheedge_tpu.models.tasks import build_task
+    from mindtheedge_tpu.training.checkpoint import load_checkpoint, restore_params
+    from mindtheedge_tpu.utils.depth import inv2depth
+
+    try:
+        jax.config.update('jax_compilation_cache_dir', '/tmp/mte_jax_cache')
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass
+
+    cfg = get_cfg_defaults()
+    cfg.merge_from_file(args.config)
+    cfg = prepare_config(cfg)
+    ckpt = None
+    ckpt_path = cfg.checkpoint.filepath
+    if ckpt_path and os.path.isfile(ckpt_path):
+        cfg, ckpt = parse_test_file(ckpt_path, args.config)
+    else:
+        print(f'WARNING: checkpoint {ckpt_path!r} not found — random init '
+              '(smoke/benchmark mode)')
+
+    image_shape = tuple(cfg.datasets.augmentation.image_shape) or None
+    task = build_task(cfg)
+
+    split_path = cfg.datasets.test.split[0]
+    with open(split_path) as f:
+        lines = [ln for ln in f.read().splitlines() if ln.strip()]
+
+    os.makedirs(cfg.save.folder, exist_ok=True)
+
+    # ---- init / restore params ----------------------------------------------
+    first_rgb, first_lidar, first_edge = _read_inputs(lines[0], cfg, image_shape)
+    sample = {'rgb': jnp.asarray(first_rgb)[None]}
+    if first_lidar is not None:
+        sample['input_depth'] = jnp.asarray(first_lidar)[None]
+    if first_edge is not None:
+        sample['rgb_edge'] = jnp.asarray(first_edge)[None]
+    variables = jax.jit(task.init)(jax.random.PRNGKey(cfg.arch.seed), sample)
+    if ckpt is not None:
+        from mindtheedge_tpu.training.state import split_variables
+        params, batch_stats = split_variables(variables)
+        params, n, total = restore_params(ckpt['state_dict'], params)
+        print(f'Restored {n}/{total} params')
+        if ckpt.get('batch_stats'):
+            batch_stats, _, _ = restore_params(ckpt['batch_stats'], batch_stats)
+        variables = {}
+        for net in params:
+            variables[net] = {'params': params[net]}
+            if net in batch_stats:
+                variables[net]['batch_stats'] = batch_stats[net]
+
+    infer = jax.jit(lambda v, b: task.infer(v, b))
+
+    # ---- batched inference loop ------------------------------------------------
+    pred_files = []
+    batch_size = args.batch
+    counter = 0
+    for i in range(0, len(lines), batch_size):
+        chunk = lines[i:i + batch_size]
+        rgbs, lidars, redges = [], [], []
+        for ln in chunk:
+            r, l, e = _read_inputs(ln, cfg, image_shape)
+            rgbs.append(r)
+            lidars.append(l)
+            redges.append(e)
+        batch = {'rgb': jnp.asarray(np.stack(rgbs))}
+        if lidars[0] is not None:
+            batch['input_depth'] = jnp.asarray(np.stack(lidars))
+        if redges[0] is not None:
+            batch['rgb_edge'] = jnp.asarray(np.stack(redges))
+        out = infer(variables, batch)
+        inv_depth0 = np.asarray(out['inv_depths'][0][..., 0])
+        depth = np.asarray(inv2depth(jnp.asarray(inv_depth0)))
+        for b in range(len(chunk)):
+            out_base = os.path.join(cfg.save.folder, str(counter).zfill(8))
+            save_depth_outputs(depth[b], out_base, cfg.save)
+            pred_files.append(out_base + '_regular.npy')
+            counter += 1
+        print(f'Processed {counter}/{len(lines)}')
+
+    with open(os.path.join(cfg.save.folder, 'pred_list.txt'), 'w') as f:
+        f.writelines(p + '\n' for p in pred_files)
+
+    # ---- metrics --------------------------------------------------------------
+    run_post_metrics(cfg, pred_files)
+    print('-> Done!')
+
+
+def run_post_metrics(cfg, pred_files):
+    an = cfg.analysis
+    if an.run_metrics and an.gt_image_list:
+        from mindtheedge_tpu.evaluation.depth_analyzer import (
+            DepthEvalLoader, DensePredictionAnalyzer, run_analysis)
+        pred_list_path = os.path.join(cfg.save.folder, 'pred_list.txt')
+        image_list = an.gt_image_list   # images only used for shape/debug
+        loader = DepthEvalLoader(image_list, an.gt_image_list, pred_list_path)
+        analyzer = DensePredictionAnalyzer(an)
+        df = run_analysis(loader, analyzer, cfg)
+        csv_path = os.path.join(cfg.save.folder, 'mean_frames_depth_metrics.csv')
+        df.mean().to_csv(csv_path)
+        print(f'Depth metrics -> {csv_path}')
+        # ordinal D3R
+        from mindtheedge_tpu.evaluation.d3r import d3r_metric
+        scores = []
+        for i in range(len(loader)):
+            _, gt, d = loader[i]
+            scores.append(d3r_metric(gt, d))
+        print(f'D3R ordinal: {np.mean(scores):.4f}')
+
+    if an.run_heavy_edge_metrics and an.edge_image_list:
+        from mindtheedge_tpu.evaluation.edge_auc import edge_auc
+        with open(an.edge_image_list) as f:
+            gt_list = f.read().splitlines()
+        result = edge_auc(gt_list, pred_files,
+                          prec_range=(an.prec_recall_eval_range_min,
+                                      an.prec_recall_eval_range_max),
+                          gt_crop=an.gt_crop,
+                          min_depth=an.min_depth, max_depth=an.max_depth,
+                          save_folder=os.path.join(cfg.save.folder, 'temp_output'))
+        auc_path = os.path.join(cfg.save.folder, 'edge_AUC.txt')
+        with open(auc_path, 'w') as f:
+            f.write(f"AUC over all range: {result['auc_full']}\n")
+            f.write(f"AUC over partial range: {result['auc_partial']}\n")
+        print(f"Edge AUC full={result['auc_full']:.4f} "
+              f"partial={result['auc_partial']:.4f} -> {auc_path}")
+
+
+if __name__ == '__main__':
+    main()
