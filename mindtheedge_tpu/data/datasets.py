@@ -168,8 +168,15 @@ class ConcatDataset:
         return self.entries[ds_idx][idx - int(self.cum[ds_idx])]
 
 
+def _kitti(*args, **kwargs):
+    from mindtheedge_tpu.data.kitti_dataset import KITTIDataset
+    kwargs.pop('intrinsics', None)
+    return KITTIDataset(*args, **kwargs)
+
+
 DATASET_REGISTRY = {
     'GTA': GTADataset,
+    'KITTI': _kitti,
 }
 
 

@@ -245,12 +245,30 @@ class Experiment:
         return self.state
 
     def validate(self):
+        from mindtheedge_tpu.evaluation.edge_metrics import (
+            compute_edge_metrics, EDGE_METRIC_NAMES)
+        is_dee = 'EdgeEstimation' in self.config.model.name
+        log_edges = self.config.edges.depth_edges_metric_log
+        gt_crop = self.config.datasets.validation.gt_crop
+        gt_crop0 = gt_crop[0] if gt_crop else None
+
         sums, count = {}, 0
         for batch in self.val_loader:
             result = self.evaluate_depth(batch)
             for key, arr in result['metrics'].items():
                 for name, val in zip(DEPTH_METRIC_NAMES, arr):
                     k = f'{key}/{name}'
+                    sums[k] = sums.get(k, 0.0) + float(val)
+            if log_edges and 'edge' in batch:
+                # chamfer edge P/R/F1 (model_wrapper.py:376-442); DEE models
+                # threshold probabilities, depth models Canny the depth
+                pred = result['inv_depth_pp'][0, ..., 0] if is_dee \
+                    else result['depth_pp'][0, ..., 0]
+                vals = compute_edge_metrics(
+                    np.asarray(pred), np.asarray(batch['edge'][0, ..., 0]),
+                    is_probability=is_dee, gt_crop=gt_crop0)
+                for name, val in zip(EDGE_METRIC_NAMES, vals):
+                    k = f'edges/{name}'
                     sums[k] = sums.get(k, 0.0) + float(val)
             count += 1
         means = {k: v / max(count, 1) for k, v in sums.items()}
