@@ -52,27 +52,32 @@ def _bench(batch, dtype_name):
     variables = jax.tree_util.tree_map(
         lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, variables)
 
-    @jax.jit
-    def forward(variables, rgb, lidar, carry):
-        # `carry` creates a data dependency between iterations so the chain
-        # cannot be reordered/overlapped, while the single host sync at the
-        # end amortizes the remote-relay round-trip (~25 ms) over all iters.
-        rgb = rgb + (0.0 * carry).astype(rgb.dtype)
+    def one(variables, rgb, lidar):
         out = model.apply(variables, rgb, lidar, train=False)
         inv_depth = out['inv_depths'][0][..., 0].astype(jnp.float32)
         depth = inv2depth(inv_depth)
         prob = jnp.clip(inv_depth / 2.0, 0.0, 1.0)
         edges = non_max_suppression(prob)
-        return depth, edges, depth.mean() + edges.sum()
+        return depth, edges
 
-    carry = jnp.asarray(0.0)
-    for _ in range(WARMUP):
-        carry = forward(variables, rgb, lidar, carry)[2]
-    carry = jnp.asarray(float(carry))
+    @jax.jit
+    def forward_many(variables, rgbs, lidars):
+        # The remote-relay backend costs ~17 ms per dispatched program, so a
+        # per-batch dispatch loop measures the relay, not the TPU.  Scanning
+        # the batches inside ONE program amortizes dispatch to ~nothing (the
+        # production inference path batches + scans the same way).
+        def body(carry, inp):
+            rgb, lidar = inp
+            depth, edges = one(variables, rgb, lidar)
+            return carry + depth.mean() + edges.sum(), None
+        checksum, _ = jax.lax.scan(body, jnp.asarray(0.0), (rgbs, lidars))
+        return checksum
+
+    rgbs = jnp.stack([rgb] * ITERS)
+    lidars = jnp.stack([lidar] * ITERS)
+    float(forward_many(variables, rgbs, lidars))   # compile + warm
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        carry = forward(variables, rgb, lidar, carry)[2]
-    checksum = float(carry)   # one sync for the whole chain
+    checksum = float(forward_many(variables, rgbs, lidars))
     dt = time.perf_counter() - t0
     assert np.isfinite(checksum)
     return batch * ITERS / dt

@@ -168,10 +168,26 @@ def main(argv=None):
 
     infer = jax.jit(lambda v, b: task.infer(v, b))
 
-    # ---- batched inference loop ------------------------------------------------
+    # ---- batched, pipelined inference loop ----------------------------------
+    # Dispatch is asynchronous; host conversion of batch i-LAG overlaps the
+    # device running batch i (the remote relay costs ~17 ms per dispatched
+    # program, so never sync per batch).
     pred_files = []
     batch_size = args.batch
     counter = 0
+    LAG = 2
+    in_flight = []
+
+    def drain(entry):
+        nonlocal counter
+        depth_dev, n_items = entry
+        depth = np.asarray(depth_dev)
+        for b in range(n_items):
+            out_base = os.path.join(cfg.save.folder, str(counter).zfill(8))
+            save_depth_outputs(depth[b], out_base, cfg.save)
+            pred_files.append(out_base + '_regular.npy')
+            counter += 1
+
     for i in range(0, len(lines), batch_size):
         chunk = lines[i:i + batch_size]
         rgbs, lidars, redges = [], [], []
@@ -180,20 +196,26 @@ def main(argv=None):
             rgbs.append(r)
             lidars.append(l)
             redges.append(e)
+        # pad the tail chunk to keep one compiled program shape
+        n_items = len(chunk)
+        while len(rgbs) < batch_size:
+            rgbs.append(rgbs[-1])
+            lidars.append(lidars[-1])
+            redges.append(redges[-1])
         batch = {'rgb': jnp.asarray(np.stack(rgbs))}
         if lidars[0] is not None:
             batch['input_depth'] = jnp.asarray(np.stack(lidars))
         if redges[0] is not None:
             batch['rgb_edge'] = jnp.asarray(np.stack(redges))
         out = infer(variables, batch)
-        inv_depth0 = np.asarray(out['inv_depths'][0][..., 0])
-        depth = np.asarray(inv2depth(jnp.asarray(inv_depth0)))
-        for b in range(len(chunk)):
-            out_base = os.path.join(cfg.save.folder, str(counter).zfill(8))
-            save_depth_outputs(depth[b], out_base, cfg.save)
-            pred_files.append(out_base + '_regular.npy')
-            counter += 1
-        print(f'Processed {counter}/{len(lines)}')
+        depth_dev = inv2depth(out['inv_depths'][0][..., 0])
+        in_flight.append((depth_dev, n_items))
+        if len(in_flight) > LAG:
+            drain(in_flight.pop(0))
+            print(f'Processed {counter}/{len(lines)}')
+    for entry in in_flight:
+        drain(entry)
+    print(f'Processed {counter}/{len(lines)}')
 
     with open(os.path.join(cfg.save.folder, 'pred_list.txt'), 'w') as f:
         f.writelines(p + '\n' for p in pred_files)

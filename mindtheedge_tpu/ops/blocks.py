@@ -27,24 +27,39 @@ _xavier = nn.initializers.xavier_uniform()
 
 class GroupNorm(nn.Module):
     """GroupNorm with exact torch semantics (contiguous channel groups,
-    per-(sample, group) statistics over (H, W, C/G), eps 1e-5, fp32 stats)."""
+    per-(sample, group) statistics over (H, W, C/G), eps 1e-5, fp32 stats).
+
+    TPU note: statistics are computed as per-channel spatial moments reduced
+    again over each group — mathematically identical to the direct formula,
+    but it never reshapes the [B,H,W,C] activation (a [B,HW,G,C/G] reshape
+    puts C/G=2..32 on the lane dimension, forcing relayouts), and the
+    normalization is a single fused scale+shift pass.
+    """
     num_groups: int = 16
     epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x):
-        c = x.shape[-1]
+        b, _, _, c = x.shape
         g = self.num_groups
         assert c % g == 0, f'channels {c} not divisible by {g} groups'
+        gs = c // g
         scale = self.param('scale', nn.initializers.ones, (c,), jnp.float32)
         bias = self.param('bias', nn.initializers.zeros, (c,), jnp.float32)
-        b = x.shape[0]
-        xf = x.astype(jnp.float32).reshape(b, -1, g, c // g)
-        mean = xf.mean(axis=(1, 3), keepdims=True)
-        var = ((xf - mean) ** 2).mean(axis=(1, 3), keepdims=True)
-        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
-        y = y.reshape(x.shape) * scale + bias
-        return y.astype(x.dtype)
+
+        xf = x.astype(jnp.float32)
+        mean_c = jnp.mean(xf, axis=(1, 2))               # [B,C]
+        mean2_c = jnp.mean(jnp.square(xf), axis=(1, 2))  # [B,C]
+        mean_g = mean_c.reshape(b, g, gs).mean(-1)       # [B,G]
+        mean2_g = mean2_c.reshape(b, g, gs).mean(-1)
+        var_g = jnp.maximum(mean2_g - jnp.square(mean_g), 0.0)
+        inv_g = jax.lax.rsqrt(var_g + self.epsilon)      # [B,G]
+
+        inv_c = jnp.repeat(inv_g, gs, axis=1) * scale[None, :]      # [B,C]
+        off_c = bias[None, :] - jnp.repeat(mean_g, gs, axis=1) * inv_c
+        y = x * inv_c[:, None, None, :].astype(x.dtype) \
+            + off_c[:, None, None, :].astype(x.dtype)
+        return y
 
 
 class ConvBlock(nn.Module):

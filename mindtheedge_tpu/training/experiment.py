@@ -222,14 +222,17 @@ class Experiment:
             running = {}
             n_batches = 0
             progress = epoch / max_epochs
+            # metrics stay on device until epoch end: a host sync per step
+            # costs a full relay round-trip (~17 ms) on this backend
             for batch in self.train_loader:
                 jbatch = batch_to_device(batch)
                 self.state, metrics = train_step(self.state, jbatch, key,
                                                  progress)
                 n_batches += 1
                 for k, v in metrics.items():
-                    running[k] = running.get(k, 0.0) + float(v)
-            means = {k: v / max(n_batches, 1) for k, v in running.items()}
+                    running.setdefault(k, []).append(v)
+            means = {k: float(jnp.mean(jnp.stack(v)))
+                     for k, v in running.items()}
             dt = time.time() - t0
             ips = n_batches * self.train_loader.batch_size / max(dt, 1e-9)
             print(f'Epoch {epoch}: ' +

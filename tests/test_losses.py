@@ -1,0 +1,86 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import pytest
+
+from mindtheedge_tpu.losses import supervised as S
+from mindtheedge_tpu.losses.grad_loss import grad_layer, class_balanced_bce, grad_loss
+
+
+def test_silog_matches_torch_formula():
+    rng = np.random.RandomState(0)
+    pred = rng.rand(2, 8, 10, 1).astype(np.float32) + 0.1
+    gt = rng.rand(2, 8, 10, 1).astype(np.float32) + 0.1
+    mask = gt > 0.5
+
+    # torch-style reference computation over the masked elements
+    p = torch.from_numpy(pred[mask])
+    g = torch.from_numpy(gt[mask])
+    log_diff = torch.log(p * 10) - torch.log(g * 10)
+    expected = float(torch.sqrt(torch.mean(log_diff ** 2) -
+                                0.85 * log_diff.mean() ** 2) * 10)
+
+    ours = float(S.silog_loss(jnp.asarray(pred), jnp.asarray(gt),
+                              jnp.asarray(mask)))
+    assert ours == pytest.approx(expected, rel=1e-4)
+
+
+def test_sparse_masking_mean_over_valid_only():
+    pred = jnp.ones((1, 4, 4, 1)) * 2.0
+    gt = jnp.zeros((1, 4, 4, 1)).at[0, 0, 0, 0].set(1.0)
+    # sparse-l1: only the single valid pixel counts: |2+1e-5 - 1| = 1.00001
+    loss = S.supervised_loss([pred], gt, 'sparse-l1', num_scales=1)
+    assert float(loss) == pytest.approx(1.00001, rel=1e-5)
+
+
+def test_berhu_threshold_behaviour():
+    rng = np.random.RandomState(1)
+    pred = jnp.asarray(rng.rand(1, 6, 6, 1).astype(np.float32))
+    gt = jnp.asarray(rng.rand(1, 6, 6, 1).astype(np.float32))
+    mask = jnp.ones_like(gt, dtype=bool)
+    val = float(S.berhu_loss(pred, gt, mask))
+    assert np.isfinite(val) and val >= 0
+
+
+def test_grad_layer_magnitude_vs_directional():
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(1, 16, 20, 1).astype(np.float32))
+    mag, xv, xh = grad_layer(x)
+    assert mag.shape == x.shape
+    # with normals pointing vertically (pi/2), the selected derivative is |v|
+    normal = jnp.full_like(x, np.pi / 2)
+    mag_dir, _, _ = grad_layer(x, normal)
+    np.testing.assert_allclose(np.asarray(mag_dir), np.abs(np.asarray(xv)),
+                               atol=1e-6)
+
+
+def test_class_balanced_bce_balance():
+    # all-negative GT: alpha -> 1, only positive term would count (and is 0)
+    prob = jnp.full((1, 8, 8, 1), 0.001)
+    gt = jnp.zeros((1, 8, 8, 1))
+    loss = float(class_balanced_bce(prob, gt))
+    # alpha = neg/(pos+neg) = 1 -> (1-alpha)=0 kills the negative term
+    assert loss == pytest.approx(0.0, abs=1e-6)
+
+    gt2 = gt.at[0, 2, 2, 0].set(1.0)
+    loss2 = float(class_balanced_bce(prob, gt2))
+    # one confident wrong positive among 64 px: alpha=(63/64),
+    # loss = alpha * -log(p + 1e-3) / 64 (negative term ~0)
+    expected = (63 / 64) * -np.log(0.001 + 0.001) / 64
+    assert loss2 == pytest.approx(expected, rel=1e-3)
+
+
+def test_grad_loss_end_to_end_is_differentiable():
+    rng = np.random.RandomState(3)
+    depth = jnp.asarray(rng.rand(1, 16, 24, 1).astype(np.float32) * 50)
+    edge = jnp.asarray((rng.rand(1, 32, 48, 1) > 0.9).astype(np.float32))
+
+    def f(d):
+        loss, _ = grad_loss(d, edge, is_grad=True, is_sigmoid=True,
+                            sigmoid_thresh=4.0)
+        return loss
+
+    g = jax.grad(f)(depth)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0
