@@ -27,7 +27,8 @@ from mindtheedge_tpu.ops.packing import upsample_nearest2x
 from mindtheedge_tpu.ops.sparse import SparseDepthEncoder
 
 # Encoder/decoder widths (PackNetSAN01.py:179-184)
-NI, N1, N2, N3, N4, N5 = 32, 32, 64, 128, 256, 512
+SLIM_CHANNELS = (32, 32, 64, 128, 256, 512)     # PackNetSlim / PackNetSAN
+FULL_CHANNELS = (64, 64, 64, 128, 256, 512)     # original PackNet01 (:34-35)
 NUM_BLOCKS = (2, 2, 3, 3)
 PACK_KERNEL = (5, 3, 3, 3, 3)
 UNPACK_KERNEL = (3, 3, 3, 3, 3)
@@ -38,20 +39,22 @@ NUM_3D_FEAT = 4
 class PackNetSlimEncoder(nn.Module):
     """Reference ``PackNetSlimEnc01`` (``PackNetSAN01.py:22-61``)."""
     dropout: Optional[float] = None
+    channels: tuple = SLIM_CHANNELS
 
     @nn.compact
     def __call__(self, rgb, train: bool = False):
-        x = ConvBlock(NI, 5, 1, name='pre_calc')(rgb)
-        x1 = ConvBlock(N1, 7, 1, name='conv1')(x)
-        x1p = PackLayerConv3d(N1, PACK_KERNEL[0], d=NUM_3D_FEAT, name='pack1')(x1)
-        x2 = ResidualBlock(N2, NUM_BLOCKS[0], 1, self.dropout, name='conv2')(x1p, train)
-        x2p = PackLayerConv3d(N2, PACK_KERNEL[1], d=NUM_3D_FEAT, name='pack2')(x2)
-        x3 = ResidualBlock(N3, NUM_BLOCKS[1], 1, self.dropout, name='conv3')(x2p, train)
-        x3p = PackLayerConv3d(N3, PACK_KERNEL[2], d=NUM_3D_FEAT, name='pack3')(x3)
-        x4 = ResidualBlock(N4, NUM_BLOCKS[2], 1, self.dropout, name='conv4')(x3p, train)
-        x4p = PackLayerConv3d(N4, PACK_KERNEL[3], d=NUM_3D_FEAT, name='pack4')(x4)
-        x5 = ResidualBlock(N5, NUM_BLOCKS[3], 1, self.dropout, name='conv5')(x4p, train)
-        x5p = PackLayerConv3d(N5, PACK_KERNEL[4], d=NUM_3D_FEAT, name='pack5')(x5)
+        ni, n1, n2, n3, n4, n5 = self.channels
+        x = ConvBlock(ni, 5, 1, name='pre_calc')(rgb)
+        x1 = ConvBlock(n1, 7, 1, name='conv1')(x)
+        x1p = PackLayerConv3d(n1, PACK_KERNEL[0], d=NUM_3D_FEAT, name='pack1')(x1)
+        x2 = ResidualBlock(n2, NUM_BLOCKS[0], 1, self.dropout, name='conv2')(x1p, train)
+        x2p = PackLayerConv3d(n2, PACK_KERNEL[1], d=NUM_3D_FEAT, name='pack2')(x2)
+        x3 = ResidualBlock(n3, NUM_BLOCKS[1], 1, self.dropout, name='conv3')(x2p, train)
+        x3p = PackLayerConv3d(n3, PACK_KERNEL[2], d=NUM_3D_FEAT, name='pack3')(x3)
+        x4 = ResidualBlock(n4, NUM_BLOCKS[2], 1, self.dropout, name='conv4')(x3p, train)
+        x4p = PackLayerConv3d(n4, PACK_KERNEL[3], d=NUM_3D_FEAT, name='pack4')(x4)
+        x5 = ResidualBlock(n5, NUM_BLOCKS[3], 1, self.dropout, name='conv5')(x4p, train)
+        x5p = PackLayerConv3d(n5, PACK_KERNEL[4], d=NUM_3D_FEAT, name='pack5')(x5)
         return x5p, [x, x1p, x2p, x3p, x4p]
 
 
@@ -59,9 +62,11 @@ class PackNetDecoder(nn.Module):
     """Reference ``Decoder`` (``PackNetSAN01.py:64-152``); version A = concat skips."""
     out_channels: int = 1
     version: str = 'A'
+    channels: tuple = SLIM_CHANNELS
 
     @nn.compact
     def __call__(self, x5p, skips):
+        NI, N1, N2, N3, N4, N5 = self.channels
         skip1, skip2, skip3, skip4, skip5 = skips
         cat = (lambda a, b: jnp.concatenate([a, b], axis=-1)) if self.version == 'A' \
             else (lambda a, b: a + b)
@@ -111,15 +116,18 @@ class PackNetSAN(nn.Module):
     dropout: Optional[float] = None
     input_channels: int = 3
     output_channels: int = 1
+    channels: tuple = SLIM_CHANNELS
     freeze_encoder: bool = False   # enforced by the optimizer partition, not here
     freeze_decoder: bool = False
     freeze_san: bool = False
 
     def setup(self):
-        self.encoder = PackNetSlimEncoder(dropout=self.dropout)
+        self.encoder = PackNetSlimEncoder(dropout=self.dropout,
+                                          channels=self.channels)
         self.decoder = PackNetDecoder(out_channels=self.output_channels,
-                                      version=self.version[1:] or 'A')
-        self.mconvs = SparseDepthEncoder(channels=(N1, N2, N3, N4, N5))
+                                      version=self.version[1:] or 'A',
+                                      channels=self.channels)
+        self.mconvs = SparseDepthEncoder(channels=tuple(self.channels[1:]))
         # Learnable per-level fusion scale/shift (PackNetSAN01.py:209-210)
         self.weight = self.param('weight', nn.initializers.ones, (5,), jnp.float32)
         self.bias = self.param('bias', nn.initializers.zeros, (5,), jnp.float32)
@@ -163,3 +171,25 @@ class PackNetSAN(nn.Module):
         ) / len(skip_feat_rgbd)
         output['depth_loss'] = loss
         return output
+
+
+class PackNet01(nn.Module):
+    """Original PackNet (CVPR'20), RGB-only, versions 1A/1B
+    (reference ``networks/depth/PackNet01.py``; channels ``:34-35``)."""
+    version: str = '1A'
+    dropout: Optional[float] = None
+    channels: tuple = FULL_CHANNELS
+
+    @nn.compact
+    def __call__(self, rgb, train: bool = False, **kwargs):
+        x5p, skips = PackNetSlimEncoder(
+            dropout=self.dropout, channels=self.channels, name='encoder')(rgb, train)
+        inv_depths = PackNetDecoder(
+            out_channels=1, version=self.version[1:] or 'A',
+            channels=self.channels, name='decoder')(x5p, skips)
+        return {'inv_depths': inv_depths}
+
+
+class PackNetSlim01(PackNet01):
+    """Slim-channel PackNet variant (reference ``networks/depth/PackNetSlim01.py``)."""
+    channels: tuple = SLIM_CHANNELS

@@ -20,8 +20,9 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from mindtheedge_tpu.models.packnet import PackNetSAN
+from mindtheedge_tpu.models.packnet import PackNetSAN, PackNet01, PackNetSlim01
 from mindtheedge_tpu.models.posenet import PoseNet
+from mindtheedge_tpu.models.resnet import DepthResNet, PoseResNet
 from mindtheedge_tpu.losses.supervised import supervised_loss
 from mindtheedge_tpu.losses.grad_loss import grad_loss
 from mindtheedge_tpu.losses.photometric import multiview_photometric_loss
@@ -52,26 +53,38 @@ DEPTH_NET_REGISTRY = {
     # reference names (networks/depth/*.py) -> flax modules
     'PackNetSAN01': PackNetSAN,
     'PackNetSlimEnc01': PackNetSAN,   # ckpt-name bypass, utils/config.py:457-458
+    'PackNet01': PackNet01,
+    'PackNetSlim01': PackNetSlim01,
+    'DepthResNet': DepthResNet,
 }
 
 POSE_NET_REGISTRY = {
     'PoseNet': PoseNet,
+    'PoseResNet': PoseResNet,
 }
 
 
 def build_depth_net(cfg):
     cls = DEPTH_NET_REGISTRY[cfg.name]
-    return cls(version=cfg.version or '1A',
-               dropout=cfg.dropout or None,
-               input_channels=cfg.input_channels,
-               output_channels=cfg.output_channels,
-               freeze_encoder=cfg.freeze_encoder,
-               freeze_decoder=cfg.freeze_decoder,
-               freeze_san=cfg.freeze_san)
+    if cls is PackNetSAN:
+        return cls(version=cfg.version or '1A',
+                   dropout=cfg.dropout or None,
+                   input_channels=cfg.input_channels,
+                   output_channels=cfg.output_channels,
+                   freeze_encoder=cfg.freeze_encoder,
+                   freeze_decoder=cfg.freeze_decoder,
+                   freeze_san=cfg.freeze_san)
+    if cls in (PackNet01, PackNetSlim01):
+        return cls(version=cfg.version or '1A', dropout=cfg.dropout or None)
+    if cls is DepthResNet:
+        return cls(version=cfg.version or '18')
+    return cls()
 
 
 def build_pose_net(cfg):
     cls = POSE_NET_REGISTRY[cfg.name]
+    if cls is PoseResNet:
+        return cls(version=cfg.version or '18')
     return cls()
 
 
