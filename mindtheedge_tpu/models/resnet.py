@@ -219,3 +219,43 @@ class PoseResNet(nn.Module):
             poses.append(pose[:, 0])
         # [B, n_ctx, 6] like the reference PoseNet contract
         return jnp.stack(poses, axis=1)
+
+
+class RaySurfaceDecoder(nn.Module):
+    """monodepth2-style decoder emitting a tanh ray surface
+    (``resnet/raysurface_decoder.py:16-65``)."""
+    num_output_channels: int = 3
+    use_skips: bool = True
+
+    @nn.compact
+    def __call__(self, features):
+        num_ch_dec = [16, 32, 64, 128, 256]
+        x = features[-1]
+        out = None
+        for i in range(4, -1, -1):
+            x = nn.elu(Conv3x3Refl(num_ch_dec[i], name=f'upconv_{i}_0')(x))
+            x = upsample2x(x)
+            if self.use_skips and i > 0:
+                x = jnp.concatenate([x, features[i - 1]], axis=-1)
+            x = nn.elu(Conv3x3Refl(num_ch_dec[i], name=f'upconv_{i}_1')(x))
+            if i == 0:
+                out = nn.tanh(Conv3x3Refl(self.num_output_channels,
+                                          name='raysurfconv_0')(x))
+        return out
+
+
+class RaySurfaceResNet(nn.Module):
+    """ResNet + ray-surface decoder for generic (non-pinhole) cameras
+    (``networks/depth/RaySurfaceResNet.py:35-66``)."""
+    version: str = '18'
+
+    @nn.compact
+    def __call__(self, rgb, train=False, **kwargs):
+        num_layers = int(self.version[:2])
+        feats = ResnetEncoder(num_layers, name='encoder')(rgb, train)
+        disps = DepthDecoder(name='decoder')(feats)
+        ray_surface = RaySurfaceDecoder(name='ray_surf')(feats)
+        inv_depths = [disp_to_depth(disps[i])[0] for i in range(4)]
+        if not train:
+            inv_depths = [inv_depths[0]]
+        return {'inv_depths': inv_depths, 'ray_surface': ray_surface}

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from mindtheedge_tpu.models.packnet import PackNetSAN, PackNet01, PackNetSlim01
 from mindtheedge_tpu.models.posenet import PoseNet
-from mindtheedge_tpu.models.resnet import DepthResNet, PoseResNet
+from mindtheedge_tpu.models.resnet import DepthResNet, PoseResNet, RaySurfaceResNet
 from mindtheedge_tpu.losses.supervised import supervised_loss
 from mindtheedge_tpu.losses.grad_loss import grad_loss
 from mindtheedge_tpu.losses.photometric import multiview_photometric_loss
@@ -56,6 +56,7 @@ DEPTH_NET_REGISTRY = {
     'PackNet01': PackNet01,
     'PackNetSlim01': PackNetSlim01,
     'DepthResNet': DepthResNet,
+    'RaySurfaceResNet': RaySurfaceResNet,
 }
 
 POSE_NET_REGISTRY = {
@@ -76,7 +77,7 @@ def build_depth_net(cfg):
                    freeze_san=cfg.freeze_san)
     if cls in (PackNet01, PackNetSlim01):
         return cls(version=cfg.version or '1A', dropout=cfg.dropout or None)
-    if cls is DepthResNet:
+    if cls in (DepthResNet, RaySurfaceResNet):
         return cls(version=cfg.version or '18')
     return cls()
 
@@ -487,4 +488,80 @@ class VelSupTask(SelfSupTask):
         vel = vel / max(len(poses), 1)
         loss = loss + self.velocity_loss_weight * vel
         metrics = dict(metrics, velocity_loss=vel, loss=loss)
+        return loss, (metrics, out, new_stats)
+
+
+@register_task('GenericSfmModel')
+class GenericSfmTask(BaseTask):
+    """Ray-surface depth+pose container (reference ``models/GenericSfmModel.py``).
+
+    The depth net (RaySurfaceResNet) returns a learned per-pixel ray surface
+    alongside inverse depths; inference passes it through.
+    """
+
+    def train_loss(self, variables, batch, rng, progress=0.0):
+        out, new_stats = self.run_depth(variables, batch, train=True, rng=rng)
+        zero = jnp.asarray(0.0)
+        return zero, ({'loss': zero}, out, new_stats)
+
+
+@register_task('GenericSelfSupModel')
+class GenericSelfSupTask(GenericSfmTask):
+    """Ray-surface self-supervision (reference ``models/GenericSelfSupModel.py``
+    + ``losses/generic_multiview_photometric_loss.py``): photometric warp via
+    soft-argmax ray-surface projection with progress-annealed temperature."""
+
+    def train_loss(self, variables, batch, rng, progress=0.0):
+        from mindtheedge_tpu.geometry.camera_generic import view_synthesis_generic
+        from mindtheedge_tpu.losses.photometric import ssim as ssim_map, calc_smoothness
+        out, new_stats = self.run_depth(variables, batch, train=True, rng=rng)
+        poses = self.run_pose(variables, batch)
+        ray_surface = out['ray_surface']
+
+        pk = self.photometric_kwargs
+        n = pk['num_scales']
+        image = batch['rgb_original']
+        inv_depths = out['inv_depths']
+        images = match_scales(image, inv_depths, n)
+
+        def photo(t_est, img):
+            l1 = jnp.abs(t_est - img)
+            w = pk['ssim_loss_weight']
+            if w > 0:
+                s = jnp.clip((1.0 - ssim_map(t_est, img, pk['C1'], pk['C2'])) / 2.0, 0, 1)
+                return w * s.mean(-1, keepdims=True) + (1 - w) * l1.mean(-1, keepdims=True)
+            return l1
+
+        photometric_losses = [[] for _ in range(n)]
+        for ref_image, pose in zip(batch['rgb_context_original'], poses):
+            ref_images = match_scales(ref_image, inv_depths, n)
+            for i in range(n):
+                from mindtheedge_tpu.utils.image import resize_bilinear
+                h, w = inv_depths[i].shape[1], inv_depths[i].shape[2]
+                rs_i = ray_surface if ray_surface.shape[1] == h else \
+                    resize_bilinear(ray_surface, (h, w), align_corners=True)
+                depth_i = inv2depth(inv_depths[i])
+                warped = view_synthesis_generic(
+                    ref_images[i], depth_i, rs_i, rs_i, pose,
+                    progress=progress, padding_mode=pk['padding_mode'],
+                    patch_radius=min(20, max(2, h // 8)))
+                photometric_losses[i].append(photo(warped, images[i]))
+                if pk['automask_loss']:
+                    photometric_losses[i].append(photo(ref_images[i], images[i]))
+
+        def reduce_fn(losses):
+            if pk['photometric_reduce_op'] == 'mean':
+                return sum(l.mean() for l in losses) / len(losses)
+            return jnp.concatenate(losses, axis=-1).min(axis=-1).mean()
+
+        loss = sum(reduce_fn(photometric_losses[i]) for i in range(n)) / n
+        metrics = {'photometric_loss': loss}
+        if pk['smooth_loss_weight'] > 0:
+            sx, sy = calc_smoothness(inv_depths, images, n)
+            smooth = sum((jnp.abs(sx[i]).mean() + jnp.abs(sy[i]).mean()) / 2 ** i
+                         for i in range(n)) / n
+            smooth = pk['smooth_loss_weight'] * smooth
+            loss = loss + smooth
+            metrics['smoothness_loss'] = smooth
+        metrics['loss'] = loss
         return loss, (metrics, out, new_stats)
