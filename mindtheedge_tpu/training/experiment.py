@@ -206,6 +206,19 @@ class Experiment:
             self.initialize_state(first_batch)
 
         train_step = jax.jit(make_train_step(self.task, self.optimizer))
+        # Data-parallel mesh over all local devices (the TPU-native
+        # replacement for Horovod/DataParallel, SURVEY 2.10): state is
+        # replicated, batches shard on the leading axis, and XLA inserts the
+        # gradient all-reduce inside the compiled step.
+        self.mesh = None
+        if len(jax.devices()) > 1:
+            from mindtheedge_tpu.parallel.mesh import (
+                make_mesh, replicated, shard_batch)
+            self.mesh = make_mesh()
+            self.state = jax.device_put(self.state, replicated(self.mesh))
+            _shard = lambda b: shard_batch(b, self.mesh)
+        else:
+            _shard = lambda b: b
         ckpt_mgr = ModelCheckpoint(
             filepath=self.config.checkpoint.filepath or 'checkpoints',
             monitor=self.config.checkpoint.monitor,
@@ -225,7 +238,7 @@ class Experiment:
             # metrics stay on device until epoch end: a host sync per step
             # costs a full relay round-trip (~17 ms) on this backend
             for batch in self.train_loader:
-                jbatch = batch_to_device(batch)
+                jbatch = _shard(batch_to_device(batch))
                 self.state, metrics = train_step(self.state, jbatch, key,
                                                  progress)
                 n_batches += 1
