@@ -167,7 +167,8 @@ def main(argv=None):
             for s in range(scales):
                 end = '_lidar' if scales == 1 else f'_lidar_{s:03d}'
                 edge, normals = results[s]
-                cv2.imwrite(base + end + '.png', edge[b] * 255)
+                cv2.imwrite(base + end + '.png',
+                            np.clip(edge[b] * 255, 0, 255).astype(np.uint8))
                 if cfg.save.depth.npz:
                     np.save(base + end + '.npy', edge[b])
                 if normals is not None:

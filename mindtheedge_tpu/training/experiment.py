@@ -211,12 +211,16 @@ class Experiment:
         # replicated, batches shard on the leading axis, and XLA inserts the
         # gradient all-reduce inside the compiled step.
         self.mesh = None
-        if len(jax.devices()) > 1:
+        import math
+        batch_size = self.train_loader.batch_size
+        n_dp = math.gcd(batch_size, len(jax.devices()))
+        if n_dp > 1:
             from mindtheedge_tpu.parallel.mesh import (
                 make_mesh, replicated, shard_batch)
-            self.mesh = make_mesh()
+            self.mesh = make_mesh(jax.devices()[:n_dp])
             self.state = jax.device_put(self.state, replicated(self.mesh))
             _shard = lambda b: shard_batch(b, self.mesh)
+            print(f'Data-parallel over {n_dp} devices')
         else:
             _shard = lambda b: b
         ckpt_mgr = ModelCheckpoint(
