@@ -80,7 +80,9 @@ def project_generic(X, ray_surface, progress=0.0, Tcw=None, frame='c',
         jnp.linalg.norm(direction, axis=-1, keepdims=True), 1e-12, None)
 
     logits = jnp.einsum('bnc,bnkc->bnk', direction, patch_rays)
-    temperature = np.maximum(min_temp, start_temp / np.exp(constant * float(progress)))
+    # traced-progress-safe temperature annealing (camera_generic.py:188-189)
+    temperature = jnp.maximum(min_temp,
+                              start_temp / jnp.exp(constant * jnp.asarray(progress)))
     weights = jax.nn.softmax(logits / temperature, axis=-1)
     expected = jnp.einsum('bnk,nkd->bnd', weights, coords.astype(jnp.float32))
 

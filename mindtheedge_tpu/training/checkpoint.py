@@ -81,12 +81,15 @@ class ModelCheckpoint:
     """Top-k checkpoint manager (reference ``model_checkpoint.py``)."""
 
     def __init__(self, filepath, monitor='loss', save_top_k=5, mode='auto',
-                 save_freq=5, monitor_index=0):
+                 save_freq=5, monitor_index=0, s3_path='', s3_frequency=1,
+                 yaml_path=''):
         self.dirpath = filepath
         self.monitor = monitor
         self.save_top_k = save_top_k
         self.save_freq = save_freq
         self.monitor_index = monitor_index
+        self.s3_path = s3_path
+        self.s3_frequency = s3_frequency
         if mode == 'auto':
             # auto min/max by metric name (model_checkpoint.py:44-55)
             mode = 'max' if any(k in monitor for k in
@@ -95,6 +98,38 @@ class ModelCheckpoint:
         self.mode = mode
         self.best = []   # list of (metric, path)
         os.makedirs(self.dirpath or '.', exist_ok=True)
+        # copy the run yaml beside the checkpoints (model_checkpoint.py:62-64)
+        if yaml_path and os.path.isfile(yaml_path):
+            import shutil
+            shutil.copy(yaml_path,
+                        os.path.join(self.dirpath, os.path.basename(yaml_path)))
+        self._snapshot_code()
+
+    def _snapshot_code(self):
+        """tar the working tree next to the checkpoints
+        (model_checkpoint.py:13-22,83-97)."""
+        import subprocess
+        repo_root = os.path.abspath(
+            os.path.join(os.path.dirname(__file__), '..', '..'))
+        target = os.path.join(self.dirpath, 'code.tar.gz')
+        try:
+            subprocess.run(
+                ['tar', 'czf', target, '-C', repo_root, 'mindtheedge_tpu',
+                 'bench.py', 'pyproject.toml'],
+                check=False, capture_output=True, timeout=120)
+        except Exception:
+            pass
+
+    def _s3_sync(self, path, epoch):
+        """Optional S3 sync (model_checkpoint.py:83-97); requires awscli."""
+        if not self.s3_path or epoch % max(self.s3_frequency, 1) != 0:
+            return
+        import subprocess
+        try:
+            subprocess.run(['aws', 's3', 'cp', path, self.s3_path],
+                           check=False, capture_output=True, timeout=600)
+        except Exception:
+            pass
 
     def _filename(self, epoch, metrics):
         parts = [f'epoch={epoch:02d}']
@@ -118,6 +153,7 @@ class ModelCheckpoint:
     def check_and_save(self, config, state, metrics):
         path = self._filename(int(state.epoch), metrics)
         save_checkpoint(path, config, state, metrics)
+        self._s3_sync(path, int(state.epoch))
         value = float(metrics.get(self.monitor, np.nan)) if metrics else np.nan
         self.best.append((value, path))
         if self.save_top_k and self.save_top_k > 0 and not np.isnan(value):

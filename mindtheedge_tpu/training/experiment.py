@@ -205,7 +205,22 @@ class Experiment:
         if self.state is None:
             self.initialize_state(first_batch)
 
-        train_step = jax.jit(make_train_step(self.task, self.optimizer))
+        from mindtheedge_tpu.losses.loss_base import ProgressiveScaling
+        prog_scaling = ProgressiveScaling(
+            self.config.model.loss.progressive_scaling,
+            self.config.model.loss.supervised_num_scales)
+        base_n = self.task.supervised_num_scales
+        _step_cache = {}
+
+        def step_for(n_scales):
+            # scale-count decay recompiles at most num_scales times total
+            if n_scales not in _step_cache:
+                self.task.supervised_num_scales = n_scales
+                _step_cache[n_scales] = jax.jit(
+                    make_train_step(self.task, self.optimizer))
+            return _step_cache[n_scales]
+
+        train_step = step_for(base_n)
         # Data-parallel mesh over all local devices (the TPU-native
         # replacement for Horovod/DataParallel, SURVEY 2.10): state is
         # replicated, batches shard on the leading axis, and XLA inserts the
@@ -228,7 +243,18 @@ class Experiment:
             monitor=self.config.checkpoint.monitor,
             save_top_k=self.config.checkpoint.save_top_k,
             mode=self.config.checkpoint.mode,
-            save_freq=self.config.checkpoint.save_freq)
+            save_freq=self.config.checkpoint.save_freq,
+            s3_path=self.config.checkpoint.s3_path,
+            s3_frequency=self.config.checkpoint.s3_frequency,
+            yaml_path=self.config.config or self.config.checkpoint.yaml_path)
+
+        from mindtheedge_tpu.utils.wandb_logger import WandbLogger
+        from mindtheedge_tpu.utils.profiling import StepTimer
+        logger = WandbLogger(dir=self.config.checkpoint.filepath or '.',
+                             **{k: v for k, v in self.config.wandb.items()
+                                if k not in ('dir', 'url')})
+        logger.log_config(self.config)
+        timer = StepTimer()
 
         max_epochs = self.config.arch.max_epochs
         key = self.rng
@@ -239,17 +265,21 @@ class Experiment:
             running = {}
             n_batches = 0
             progress = epoch / max_epochs
+            train_step = step_for(min(prog_scaling(progress), base_n))
             # metrics stay on device until epoch end: a host sync per step
             # costs a full relay round-trip (~17 ms) on this backend
             for batch in self.train_loader:
                 jbatch = _shard(batch_to_device(batch))
-                self.state, metrics = train_step(self.state, jbatch, key,
-                                                 progress)
+                with timer:
+                    self.state, metrics = train_step(self.state, jbatch, key,
+                                                     progress)
                 n_batches += 1
                 for k, v in metrics.items():
                     running.setdefault(k, []).append(v)
             means = {k: float(jnp.mean(jnp.stack(v)))
                      for k, v in running.items()}
+            logger.log_metrics({f'train/{k}': v for k, v in means.items()},
+                               global_step=int(self.state.step))
             dt = time.time() - t0
             ips = n_batches * self.train_loader.batch_size / max(dt, 1e-9)
             print(f'Epoch {epoch}: ' +
@@ -259,9 +289,17 @@ class Experiment:
             val_metrics = {}
             if self.val_loader is not None:
                 val_metrics = self.validate()
+            if val_metrics:
+                logger.log_metrics({f'val/{k}': v for k, v in val_metrics.items()},
+                                   global_step=int(self.state.step))
             self.state = self.state.replace(epoch=epoch + 1)
             ckpt_mgr.check_and_save(self.config, self.state,
                                     {**means, **val_metrics})
+        summary = timer.summary()
+        if summary:
+            print('Step timing: ' +
+                  ' '.join(f'{k}={v:.4g}' for k, v in summary.items()))
+        logger.finish()
         return self.state
 
     def validate(self):
