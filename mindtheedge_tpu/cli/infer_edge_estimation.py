@@ -129,13 +129,28 @@ def main(argv=None):
 
     @jax.jit
     def annotate(variables, batch):
-        """Forward + per-scale fused post-processing; note the depth net was
-        already applied /200 to the lidar by the task's infer, and every
-        scale is halved into [0,1] edge probability."""
-        # the EdgeEstimation task divides lidar by 200 itself — pass raw?
-        # Our read_pair already divided, so feed through the plain depth net
-        # path: scale probabilities are inv_depths / 2 per the reference.
+        """Forward + per-scale fused post-processing (Sobel normals, NMS,
+        hysteresis all in ONE compiled program; the reference runs these as
+        per-pixel Python loops per scale).  read_pair already applied the
+        /200 lidar normalization; every scale is halved into [0,1] edge
+        probability (infer_edge_estimation.py:191,242)."""
         out = task.run_depth(variables, batch, train=False)[0]
+        results = []
+        for s in range(scales):
+            prob = out['inv_depths'][s][..., 0] / 2.0
+            normals = normals_angle_255(prob) if use_normals else None
+            edge = prob
+            if use_nms:
+                edge = non_max_suppression(edge)
+            if use_hyst:
+                edge = hysteresis(edge)
+            results.append((edge, normals))
+        return results
+
+    @jax.jit
+    def annotate_rgb(variables, batch):
+        """RGB-only path (is_infer_rgb, infer_edge_estimation.py:183-207)."""
+        out = task.run_depth(variables, {'rgb': batch['rgb']}, train=False)[0]
         results = []
         for s in range(scales):
             prob = out['inv_depths'][s][..., 0] / 2.0
@@ -159,23 +174,30 @@ def main(argv=None):
         batch = {'rgb': jnp.asarray(np.stack(rgbs))}
         if lidars[0] is not None:
             batch['input_depth'] = jnp.asarray(np.stack(lidars))
-        results = annotate(variables, batch)
-        results = [(np.asarray(e), None if n is None else np.asarray(n))
-                   for e, n in results]
-        for b in range(len(chunk)):
-            base = os.path.join(out_dir, str(counter).zfill(8))
-            for s in range(scales):
-                end = '_lidar' if scales == 1 else f'_lidar_{s:03d}'
-                edge, normals = results[s]
-                cv2.imwrite(base + end + '.png',
-                            np.clip(edge[b] * 255, 0, 255).astype(np.uint8))
-                if cfg.save.depth.npz:
-                    np.save(base + end + '.npy', edge[b])
-                if normals is not None:
-                    npath = os.path.join(normals_dir,
-                                         str(counter).zfill(8) + end + '.png')
-                    cv2.imwrite(npath, normals[b].astype(np.uint8))
-            counter += 1
+
+        def write(results, tag):
+            results = [(np.asarray(e), None if n is None else np.asarray(n))
+                       for e, n in results]
+            for b in range(len(chunk)):
+                base = os.path.join(out_dir, str(counter + b).zfill(8))
+                for s in range(scales):
+                    end = f'_{tag}' if scales == 1 else f'_{tag}_{s:03d}'
+                    edge, normals = results[s]
+                    cv2.imwrite(base + end + '.png',
+                                np.clip(edge[b] * 255, 0, 255).astype(np.uint8))
+                    if cfg.save.depth.npz:
+                        np.save(base + end + '.npy', edge[b])
+                    if normals is not None:
+                        npath = os.path.join(
+                            normals_dir, str(counter + b).zfill(8) + end + '.png')
+                        cv2.imwrite(npath, normals[b].astype(np.uint8))
+
+        if test_cfg.is_infer_rgb:
+            # RGB-only edge maps, '_regular' suffix (ref :186-190)
+            write(annotate_rgb(variables, batch), 'regular')
+        if test_cfg.is_infer_lidar and 'input_depth' in batch:
+            write(annotate(variables, batch), 'lidar')
+        counter += len(chunk)
         print(f'Processed image {counter}')
 
     save_split_list(files, lidar_files, out_dir, normals_dir)

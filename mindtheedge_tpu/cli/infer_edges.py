@@ -48,6 +48,13 @@ def _read_inputs(line, config, image_shape):
     original_shape = rgb.size
     if image_shape:
         rgb = resize_image(rgb, image_shape)
+    crop_shape = tuple(config.datasets.augmentation.crop_eval_borders or ())
+    if len(crop_shape) == 2:
+        # center-bottom crop (infer_edges.py:275-280)
+        cw, ch = rgb.size
+        sx = int((cw - crop_shape[1]) / 2)
+        sy = int(ch - crop_shape[0])
+        rgb = rgb.crop((sx, sy, sx + crop_shape[1], sy + crop_shape[0]))
     rgb_np = np.asarray(rgb, dtype=np.float32) / 255.0
 
     lidar_np = None
