@@ -269,6 +269,27 @@ def run_post_metrics(cfg, pred_files):
             f.write(f"AUC over partial range: {result['auc_partial']}\n")
         print(f"Edge AUC full={result['auc_full']:.4f} "
               f"partial={result['auc_partial']:.4f} -> {auc_path}")
+        plot_edge_graph(result['precision'], result['recall'],
+                        os.path.join(cfg.save.folder, 'edge_pr_curve.png'))
+
+
+def plot_edge_graph(precision, recall, save_file_path):
+    """PR-curve plot (reference ``infer_edges.py:218-234``)."""
+    try:
+        import matplotlib
+        matplotlib.use('Agg')
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots(figsize=(15, 10))
+        ax.plot(precision, recall, marker='o')
+        ax.set_xlabel('precision')
+        ax.set_ylabel('recall')
+        ax.set_xlim(0, 1)
+        ax.set_ylim(0, 1)
+        ax.grid(True)
+        fig.savefig(save_file_path)
+        plt.close(fig)
+    except Exception as e:
+        print(f'PR plot skipped: {e}')
 
 
 if __name__ == '__main__':

@@ -117,25 +117,32 @@ class PackNetSAN(nn.Module):
     input_channels: int = 3
     output_channels: int = 1
     channels: tuple = SLIM_CHANNELS
+    remat: bool = False       # rematerialize encoder/decoder activations
     freeze_encoder: bool = False   # enforced by the optimizer partition, not here
     freeze_decoder: bool = False
     freeze_san: bool = False
 
     def setup(self):
-        self.encoder = PackNetSlimEncoder(dropout=self.dropout,
-                                          channels=self.channels)
-        self.decoder = PackNetDecoder(out_channels=self.output_channels,
-                                      version=self.version[1:] or 'A',
-                                      channels=self.channels)
-        self.mconvs = SparseDepthEncoder(channels=tuple(self.channels[1:]))
+        # jax.checkpoint on the big submodules trades recompute for HBM —
+        # required for full-res (384x1280) training batches on one chip.
+        Enc = nn.remat(PackNetSlimEncoder, static_argnums=(2,)) \
+            if self.remat else PackNetSlimEncoder
+        Dec = nn.remat(PackNetDecoder) if self.remat else PackNetDecoder
+        self.encoder = Enc(dropout=self.dropout, channels=self.channels)
+        self.decoder = Dec(out_channels=self.output_channels,
+                           version=self.version[1:] or 'A',
+                           channels=self.channels)
+        San = nn.remat(SparseDepthEncoder, static_argnums=(2,)) \
+            if self.remat else SparseDepthEncoder
+        self.mconvs = San(channels=tuple(self.channels[1:]))
         # Learnable per-level fusion scale/shift (PackNetSAN01.py:209-210)
         self.weight = self.param('weight', nn.initializers.ones, (5,), jnp.float32)
         self.bias = self.param('bias', nn.initializers.zeros, (5,), jnp.float32)
 
     def run_network(self, rgb, input_depth=None, train=False):
-        x5p, skips = self.encoder(rgb, train=train)
+        x5p, skips = self.encoder(rgb, train)   # positional: remat static arg
         if input_depth is not None:
-            san = self.mconvs(input_depth, train=train)
+            san = self.mconvs(input_depth, train)
             w, b = self.weight, self.bias
             for i in range(4):
                 skips[i + 1] = skips[i + 1] * w[i] + san[i] + b[i]

@@ -10,6 +10,7 @@ epoch.  Here each group's learning rate is an optax schedule over *epochs*
 from typing import Any, Dict
 
 import jax
+import jax.numpy as jnp
 import optax
 
 
@@ -53,9 +54,12 @@ def build_optimizer(config, params, steps_per_epoch):
 
     def group(lr, weight_decay):
         sched = steplr(lr, sch_cfg.step_size, sch_cfg.gamma, steps_per_epoch)
+        # bf16 first moment halves that buffer (~220 MB on PackNet-SAN);
+        # makes full-res fp32 training fit in one chip's HBM with remat
         if weight_decay:
-            return optax.adamw(sched, weight_decay=weight_decay)
-        return optax.adam(sched)
+            return optax.adamw(sched, weight_decay=weight_decay,
+                               mu_dtype=jnp.bfloat16)
+        return optax.adam(sched, mu_dtype=jnp.bfloat16)
 
     transforms: Dict[str, Any] = {
         'depth': group(opt_cfg.depth.lr, opt_cfg.depth.weight_decay),

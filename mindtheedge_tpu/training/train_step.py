@@ -47,10 +47,15 @@ def make_train_step(task, optimizer):
     return train_step
 
 
-def create_train_state(task, optimizer, rng, sample_batch, epoch=0):
-    """Initialize params (jitted — on-TPU unjitted init is pathological)."""
-    init = jax.jit(task.init)
-    variables = init(rng, sample_batch)
+def create_train_state(task, optimizer, rng, sample_batch, epoch=0,
+                       variables=None):
+    """Initialize params (jitted — on-TPU unjitted init is pathological).
+
+    Pass pre-built ``variables`` to avoid a second full init (a 110M-param
+    model duplicated on a 16G chip is real money).
+    """
+    if variables is None:
+        variables = jax.jit(task.init)(rng, sample_batch)
     from mindtheedge_tpu.training.state import split_variables
     params, batch_stats = split_variables(variables)
     opt_state = optimizer.init(params)
