@@ -35,7 +35,7 @@ def _bench(batch, dtype_name):
     import jax.numpy as jnp
     from mindtheedge_tpu.models.packnet import PackNetSAN
     from mindtheedge_tpu.utils.depth import inv2depth
-    from mindtheedge_tpu.ops.edge_ops import non_max_suppression
+    from mindtheedge_tpu.ops.pallas.nms_kernel import non_max_suppression_fast as non_max_suppression
 
     dtype = jnp.bfloat16 if dtype_name == 'bf16' else jnp.float32
     model = PackNetSAN(version='1A')

@@ -49,8 +49,8 @@ def main(argv=None):
     from mindtheedge_tpu.data.readers import (
         load_image, read_png_depth, read_lidar, process_lidar, GTA_K)
     from mindtheedge_tpu.data.augmentations import resize_image, resize_depth_preserve
-    from mindtheedge_tpu.ops.edge_ops import (
-        non_max_suppression, hysteresis, normals_angle_255)
+    from mindtheedge_tpu.ops.edge_ops import hysteresis, normals_angle_255
+    from mindtheedge_tpu.ops.pallas.nms_kernel import non_max_suppression_fast as non_max_suppression
 
     try:
         jax.config.update('jax_compilation_cache_dir', '/tmp/mte_jax_cache')

@@ -26,38 +26,48 @@ def _nms_kernel(img_ref, out_ref):
     _, h, w = out_ref.shape
     img = img_ref[0]                          # [h+8, w+8] reflect-padded
 
-    # separable sobel5: smooth along one axis, derivative along the other
-    smooth = jnp.asarray([1., 4., 6., 4., 1.], jnp.float32)
-    deriv = jnp.asarray([-1., -2., 0., 2., 1.], jnp.float32)
+    # separable sobel5 coefficients as Python scalars (pallas kernels must
+    # not capture array constants)
+    smooth = (1.0, 4.0, 6.0, 4.0, 1.0)
+    deriv = (-1.0, -2.0, 0.0, 2.0, 1.0)
 
     def conv_sep(row_k, col_k):
         # rows (axis 0) then cols (axis 1), on the padded buffer
         acc = jnp.zeros((h + 4, w + 8), jnp.float32)
         for t in range(5):
-            acc = acc + row_k[t] * jax.lax.dynamic_slice(
-                img, (t, 0), (h + 4, w + 8))
+            if row_k[t] != 0.0:
+                acc = acc + row_k[t] * img[t:t + h + 4, :]
         out = jnp.zeros((h + 4, w + 4), jnp.float32)
         for t in range(5):
-            out = out + col_k[t] * jax.lax.dynamic_slice(
-                acc, (0, t), (h + 4, w + 4))
+            if col_k[t] != 0.0:
+                out = out + col_k[t] * acc[:, t:t + w + 4]
         return out
 
     sx = conv_sep(smooth, deriv)              # d/dx: smooth rows, deriv cols
     sy = conv_sep(deriv, smooth)              # d/dy
 
-    angle = jnp.rad2deg(jnp.arctan2(sy, sx))
-    angle = jnp.where(angle < 0, angle + 180.0, angle)
-    angle_c = jax.lax.dynamic_slice(angle, (2, 2), (h, w))
+    # Direction buckets from slopes (atan2 is unavailable in the Pallas TC
+    # lowering; tan is monotone on each bucket so the comparisons are
+    # equivalent): bucket90 |sy| >= tan(67.5)|sx|, diagonal
+    # tan(22.5)|sx| <= |sy| < tan(67.5)|sx|, 45-vs-135 by sign(sy*sx).
+    T1 = 0.41421356237  # tan(22.5 deg)
+    T2 = 2.41421356237  # tan(67.5 deg)
+    sxc = sx[2:2 + h, 2:2 + w]
+    syc = sy[2:2 + h, 2:2 + w]
+    ax = jnp.abs(sxc)
+    ay = jnp.abs(syc)
 
     # center + 8 neighbors from the padded original (offset 4 = pad)
-    c = jax.lax.dynamic_slice(img, (4, 4), (h, w))
+    c = img[4:4 + h, 4:4 + w]
 
     def nb(di, dj):
-        return jax.lax.dynamic_slice(img, (4 + di, 4 + dj), (h, w))
+        return img[4 + di:4 + di + h, 4 + dj:4 + dj + w]
 
-    is45 = (angle_c >= 22.5) & (angle_c < 67.5)
-    is90 = (angle_c >= 67.5) & (angle_c < 112.5)
-    is135 = (angle_c >= 112.5) & (angle_c < 157.5)
+    is90 = (ay >= T2 * ax) & (ay > 0)
+    diag = (~is90) & (ay >= T1 * ax)
+    same_sign = (syc * sxc) > 0
+    is45 = diag & same_sign
+    is135 = diag & (~same_sign)
 
     q = jnp.where(is45, nb(-1, -1),
                   jnp.where(is90, nb(1, 0),
@@ -67,35 +77,52 @@ def _nms_kernel(img_ref, out_ref):
                             jnp.where(is135, nb(-1, 1), nb(0, -1))))
 
     keep = (c >= q) & (c >= r)
-    out = jnp.where(keep, c, 0.0)
+    out_ref[0] = jnp.where(keep, c, 0.0)
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    interior = (rows >= 1) & (rows < h - 1) & (cols >= 1) & (cols < w - 1)
-    out_ref[0] = jnp.where(interior, out, 0.0)
+
+TILE_H = 128
 
 
 @functools.partial(jax.jit, static_argnames=())
 def non_max_suppression_pallas(img):
-    """Fused Sobel+NMS for [H,W] or [B,H,W] float32 images."""
+    """Fused Sobel+NMS for [H,W] or [B,H,W] float32 images.
+
+    The image is split into TILE_H row bands with 4-row halos (a whole
+    384x1280 image plus kernel temporaries overflows the ~16 MB VMEM);
+    overlapping bands are materialized once on the XLA side so the pallas
+    blocks stay disjoint.
+    """
     squeeze = img.ndim == 2
     if squeeze:
         img = img[None]
     img = img.astype(jnp.float32)
     b, h, w = img.shape
+    tile = min(TILE_H, h)
+    pad_h = (-h) % tile
     # reflect-101 pad by 4: 2 for the sobel radius + 2 so neighbor reads of
     # the ORIGINAL image use the same buffer (offset 4 +- 1 stays in bounds)
-    padded = jnp.pad(img, ((0, 0), (4, 4), (4, 4)), mode='reflect')
+    padded = jnp.pad(img, ((0, 0), (4, 4 + pad_h), (4, 4)), mode='reflect')
+    ht = h + pad_h
+    n_tiles = ht // tile
+    bands = jnp.stack([padded[:, i * tile:i * tile + tile + 8, :]
+                       for i in range(n_tiles)], axis=1)
+    bands = bands.reshape(b * n_tiles, tile + 8, w + 8)
 
     out = pl.pallas_call(
         _nms_kernel,
-        grid=(b,),
-        in_specs=[pl.BlockSpec((1, h + 8, w + 8), lambda i: (i, 0, 0),
+        grid=(b * n_tiles,),
+        in_specs=[pl.BlockSpec((1, tile + 8, w + 8), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, tile, w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
-    )(padded)
+        out_shape=jax.ShapeDtypeStruct((b * n_tiles, tile, w), jnp.float32),
+    )(bands)
+    out = out.reshape(b, ht, w)[:, :h]
+    # zero borders (the reference loop never writes them, tools.py:19)
+    rows = jnp.arange(h)[None, :, None]
+    cols = jnp.arange(w)[None, None, :]
+    interior = (rows >= 1) & (rows < h - 1) & (cols >= 1) & (cols < w - 1)
+    out = jnp.where(interior, out, 0.0)
     return out[0] if squeeze else out
 
 
