@@ -22,6 +22,7 @@ def get_cfg_defaults():
     cfg.arch.min_epochs = 1
     cfg.arch.max_epochs = 51
     cfg.arch.validate_first = False
+    cfg.arch.precision = 'float32'   # 'bfloat16' = mixed-precision compute
 
     # CHECKPOINT --------------------------------------------------------------
     cfg.checkpoint = ConfigNode()

@@ -160,10 +160,25 @@ class BaseTask:
     def run_depth(self, variables, batch, train, rng=None, force_flip=False):
         """Depth net with random lr-flip wrapping (``SfmModel.py:58-96``).
 
+        With ``arch.precision == 'bfloat16'`` the network computes in bf16
+        (params + image inputs cast at the boundary; fp32 master params stay
+        in the optimizer; outputs cast back to fp32 before any loss math).
         Returns (output_dict, new_batch_stats_or_None).
         """
+        import jax.numpy as jnp_
+        compute_dtype = None
+        if getattr(self.config.arch, 'precision', 'float32') == 'bfloat16':
+            compute_dtype = jnp_.bfloat16
+
         kwargs = self._depth_inputs(batch)
         rgb = batch['rgb']
+        if compute_dtype is not None:
+            cast = lambda t: t.astype(compute_dtype) \
+                if hasattr(t, 'dtype') and t.dtype == jnp_.float32 else t
+            rgb = cast(rgb)
+            kwargs = {k: cast(v) for k, v in kwargs.items()}
+            variables = dict(variables)
+            variables['depth'] = jax.tree_util.tree_map(cast, variables['depth'])
         if train:
             flip = jax.random.bernoulli(rng, self.flip_lr_prob)
         else:
@@ -183,10 +198,14 @@ class BaseTask:
             out = self.depth_net.apply(dvars, rgb_in, train=False, **kwargs_in)
             new_stats = None
 
-        # flip outputs back (reference model_utils.flip_output)
+        # flip outputs back (reference model_utils.flip_output); loss math
+        # always runs fp32
         for key in ('inv_depths', 'inv_depths_rgbd'):
             if key in out:
-                out[key] = [_maybe_flip(d, flip) for d in out[key]]
+                out[key] = [_maybe_flip(d, flip).astype(jnp.float32)
+                            for d in out[key]]
+        if 'depth_loss' in out:
+            out['depth_loss'] = out['depth_loss'].astype(jnp.float32)
         if train and self.upsample_depth_maps:
             for key in ('inv_depths', 'inv_depths_rgbd'):
                 if key in out:
