@@ -101,15 +101,17 @@ class Experiment:
                           lidar_scale=aug.lidar_scale,
                           lidar_add=aug.lidar_add,
                           lidar_drop_rate=aug.lidar_drop_rate)
-            if config.datasets.train.split:
+            def has_split(c):
+                return bool(c.split) and bool(c.split[0])
+            if has_split(config.datasets.train):
                 ds = setup_dataset(config.datasets.train, 'train', **kwargs)
                 self.train_loader = setup_dataloader(
                     ds, config.datasets.train, 'train', config.arch.seed)
-            if config.datasets.validation.split:
+            if has_split(config.datasets.validation):
                 ds = setup_dataset(config.datasets.validation, 'validation', **kwargs)
                 self.val_loader = setup_dataloader(
                     ds, config.datasets.validation, 'validation', config.arch.seed)
-            if config.datasets.test.split:
+            if has_split(config.datasets.test):
                 ds = setup_dataset(config.datasets.test, 'test', **kwargs)
                 self.test_loader = setup_dataloader(
                     ds, config.datasets.test, 'test', config.arch.seed)
