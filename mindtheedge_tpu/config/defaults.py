@@ -133,6 +133,7 @@ def get_cfg_defaults():
     cfg.model.depth_net.freeze_san = False
     cfg.model.depth_net.input_channels = 3
     cfg.model.depth_net.remat = False       # rematerialize activations (TPU HBM)
+    cfg.model.depth_net.channels = ()       # () = architecture default widths
     cfg.model.depth_net.is_depth_aux_net = False
     cfg.model.depth_net.output_channels = 1
 

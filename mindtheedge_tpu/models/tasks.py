@@ -67,6 +67,9 @@ POSE_NET_REGISTRY = {
 
 def build_depth_net(cfg):
     cls = DEPTH_NET_REGISTRY[cfg.name]
+    extra = {}
+    if cfg.get('channels'):
+        extra['channels'] = tuple(cfg.channels)
     if cls is PackNetSAN:
         return cls(version=cfg.version or '1A',
                    dropout=cfg.dropout or None,
@@ -75,9 +78,10 @@ def build_depth_net(cfg):
                    remat=bool(cfg.get('remat', False)),
                    freeze_encoder=cfg.freeze_encoder,
                    freeze_decoder=cfg.freeze_decoder,
-                   freeze_san=cfg.freeze_san)
+                   freeze_san=cfg.freeze_san, **extra)
     if cls in (PackNet01, PackNetSlim01):
-        return cls(version=cfg.version or '1A', dropout=cfg.dropout or None)
+        return cls(version=cfg.version or '1A', dropout=cfg.dropout or None,
+                   **extra)
     if cls in (DepthResNet, RaySurfaceResNet):
         return cls(version=cfg.version or '18')
     return cls()
