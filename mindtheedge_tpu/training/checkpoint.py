@@ -77,6 +77,35 @@ def restore_params(ckpt, init_params, strict=False):
     return jax.tree_util.tree_unflatten(treedef, leaves), loaded, len(paths)
 
 
+def restore_opt_state(saved, init_opt_state):
+    """Graft a checkpointed optimizer pytree onto a freshly-built one.
+
+    The reference restores optimizer + scheduler state wholesale on resume
+    (``model_wrapper.py:169-173``); here the optax state (Adam moments,
+    schedule step counts) is restored leaf-for-leaf into the structure the
+    current optimizer produced.  Falls back to the fresh state (with a
+    warning) if the two trees disagree — e.g. resuming under a changed
+    freeze mask.  Returns (opt_state, restored: bool).
+    """
+    import jax
+    saved_leaves, saved_def = jax.tree_util.tree_flatten(saved)
+    init_leaves, init_def = jax.tree_util.tree_flatten(init_opt_state)
+    if len(saved_leaves) != len(init_leaves):
+        print(f'WARNING: optimizer state mismatch '
+              f'({len(saved_leaves)} vs {len(init_leaves)} leaves); '
+              f'resuming with fresh optimizer state')
+        return init_opt_state, False
+    out = []
+    for s, i in zip(saved_leaves, init_leaves):
+        s, i = np.asarray(s), np.asarray(i)
+        if s.shape != i.shape:
+            print(f'WARNING: optimizer leaf shape mismatch {s.shape} vs '
+                  f'{i.shape}; resuming with fresh optimizer state')
+            return init_opt_state, False
+        out.append(s.astype(i.dtype))
+    return jax.tree_util.tree_unflatten(init_def, out), True
+
+
 class ModelCheckpoint:
     """Top-k checkpoint manager (reference ``model_checkpoint.py``)."""
 

@@ -128,14 +128,18 @@ class Experiment:
         params, batch_stats = split_variables(variables)
         self.optimizer = build_optimizer(self.config, params, steps_per_epoch)
 
-        epoch = 0
+        epoch, step, resume_payload = 0, 0, None
         if self.resume_ckpt:
-            ckpt = load_checkpoint(self.resume_ckpt)
+            resume_payload = ckpt = load_checkpoint(self.resume_ckpt)
             params, n_loaded, n_total = restore_params(ckpt['state_dict'], params)
             print(f'Restored {n_loaded}/{n_total} params from {self.resume_ckpt}')
             if ckpt.get('batch_stats'):
                 batch_stats, _, _ = restore_params(ckpt['batch_stats'], batch_stats)
-            epoch = ckpt.get('epoch', 0) + 1   # +1 (model_wrapper.py:93-94)
+            # our ckpt 'epoch' is already the next-epoch index (state.epoch
+            # is incremented before save), so no +1 — unlike the reference
+            # (model_wrapper.py:93-94) whose ckpt stores the finished epoch.
+            epoch = ckpt.get('epoch', 0)
+            step = int(ckpt.get('global_step', 0))
         elif self.config.model.depth_net.checkpoint_path:
             import os
             path = self.config.model.depth_net.checkpoint_path
@@ -148,8 +152,14 @@ class Experiment:
 
         from mindtheedge_tpu.training.state import TrainState
         opt_state = self.optimizer.init(params)
+        if resume_payload is not None and resume_payload.get('optimizer') is not None:
+            # Adam moments + schedule counts survive the restart
+            # (reference model_wrapper.py:169-173); without this the StepLR
+            # position snaps back to the base LR on resume.
+            from mindtheedge_tpu.training.checkpoint import restore_opt_state
+            opt_state, _ = restore_opt_state(resume_payload['optimizer'], opt_state)
         self.state = TrainState(params=params, batch_stats=batch_stats,
-                                opt_state=opt_state, step=0, epoch=epoch)
+                                opt_state=opt_state, step=step, epoch=epoch)
         return self.state
 
     # -- inference -----------------------------------------------------------------
