@@ -101,8 +101,11 @@ def save_depth_outputs(pred_depth, out_base, save_cfg):
     pred = np.asarray(pred_depth)
     cv2.imwrite(out_base + '_regular.png',
                 (pred / max(pred.max(), 1e-12)) * 255)
-    if save_cfg.depth.npz:
-        np.save(out_base + '_regular.npy', pred)
+    # always write the npy: pred_list.txt points at it and the downstream
+    # ARE/D3R/edge-AUC stages load it regardless of the npz flag (which the
+    # reference honors but then reads the missing file anyway,
+    # infer_edges.py:349-366 vs :115)
+    np.save(out_base + '_regular.npy', pred)
     # log-depth Spectral colormap
     import matplotlib.cm as cm
     import matplotlib as mpl

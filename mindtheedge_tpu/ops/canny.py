@@ -23,17 +23,22 @@ SOBEL3_X = np.array([[-1., 0., 1.], [-2., 0., 2.], [-1., 0., 1.]])
 SOBEL3_Y = np.array([[-1., -2., -1.], [0., 0., 0.], [1., 2., 1.]])
 
 
-def canny(img, low, high, max_iters=256):
+def canny(img, low, high, max_iters=None):
     """Canny edges of [B,H,W] uint8-range images; returns {0,1} float maps.
 
     ``low``/``high``: scalars or [T]-vectors — a [T,B,H,W] map per threshold
     pair is returned for vector input (one fused program for the whole
     threshold sweep).
+
+    Hysteresis runs to fixpoint (loop exits on no-change); ``max_iters``
+    (default H*W) is a divergence backstop only.
     """
     squeeze = img.ndim == 2
     if squeeze:
         img = img[None]
     img = img.astype(jnp.float32)
+    if max_iters is None:
+        max_iters = img.shape[1] * img.shape[2]
 
     gx = conv2_single(img, SOBEL3_X)
     gy = conv2_single(img, SOBEL3_Y)

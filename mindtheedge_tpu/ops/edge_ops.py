@@ -137,7 +137,7 @@ def _dilate8(mask):
         padding=((0, 0), (1, 1), (1, 1)))
 
 
-def hysteresis(img, t_low=0.3, t_high=0.7, max_iters=512):
+def hysteresis(img, t_low=0.3, t_high=0.7, max_iters=None):
     """Hysteresis thresholding; semantics of ``utils/tools.py:49-92``.
 
     Interior pixels are labeled strong(2)/weak(0)/intermediate(1); border
@@ -146,11 +146,17 @@ def hysteresis(img, t_low=0.3, t_high=0.7, max_iters=512):
     through interior chains) to strong pixels become strong, to fixpoint.
     Finally intermediates are zeroed, the label image is normalized by its
     max, and multiplied back into ``img``.
+
+    The propagation runs to fixpoint like the reference's DFS: the loop exits
+    when no label changes; ``max_iters`` (default H*W, the longest possible
+    snaking chain) is only a divergence backstop, never binding.
     """
     squeeze = img.ndim == 2
     if squeeze:
         img = img[None]
     b, h, w = img.shape
+    if max_iters is None:
+        max_iters = h * w
     row = jnp.arange(h)[None, :, None]
     col = jnp.arange(w)[None, None, :]
     interior = (row >= 1) & (row < h - 1) & (col >= 1) & (col < w - 1)

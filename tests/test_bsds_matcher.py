@@ -55,6 +55,54 @@ def test_native_matches_scipy_counts():
         assert m1n.sum() == m1s.sum() and m2n.sum() == m2s.sum()
 
 
+def _min_cost_match_count(pred, gt, max_dist):
+    """Independent oracle: min-cost assignment with outlier option, via
+    scipy.optimize.linear_sum_assignment.  With unit match cost and an
+    outlier fallback, the minimum-cost solution maximizes the number of
+    within-radius matches, so its match COUNT equals the max-cardinality
+    matching the BSDS ``correspond_pixels`` computes."""
+    from scipy.optimize import linear_sum_assignment
+    h, w = pred.shape
+    r = max_dist * np.hypot(h, w)
+    py, px = np.nonzero(pred)
+    gy, gx = np.nonzero(gt)
+    if len(py) == 0 or len(gy) == 0:
+        return 0
+    d2 = (py[:, None] - gy[None, :]) ** 2 + (px[:, None] - gx[None, :]) ** 2
+    adj = d2 <= r * r
+    cost = 1.0 - adj.astype(np.float64)   # 0 if matchable, 1 (outlier) if not
+    ri, ci = linear_sum_assignment(cost)
+    return int(adj[ri, ci].sum())
+
+
+def test_match_counts_vs_min_cost_assignment_random():
+    rng = np.random.RandomState(11)
+    for density in (0.03, 0.08, 0.15):
+        pred, gt = random_map(rng, 40, 50, density), random_map(rng, 40, 50, density)
+        _, _, n, _ = bm.correspond_pixels(pred, gt, max_dist=0.01)
+        assert int(n) == _min_cost_match_count(pred, gt, 0.01)
+
+
+def test_match_counts_vs_min_cost_assignment_fixture():
+    """Real KITTI-DE GT edge maps (cropped windows) through both matchers."""
+    import os
+    import cv2
+    gt_dir = '/root/reference/data/kitti_de/gt'
+    if not os.path.isdir(gt_dir):
+        pytest.skip('KITTI-DE fixtures not mounted')
+    files = sorted(os.listdir(gt_dir))[:2]
+    maps = [(cv2.imread(os.path.join(gt_dir, f))[:, :, 0] > 127).astype(np.uint8)
+            for f in files]
+    pred = maps[0][150:230, 300:500]
+    gt = maps[1][150:230, 300:500]
+    assert pred.sum() > 0 and gt.sum() > 0
+    _, _, n, _ = bm.correspond_pixels(pred, gt, max_dist=0.002)
+    assert int(n) == _min_cost_match_count(pred, gt, 0.002)
+    # and self-match sanity at the protocol tolerance
+    _, _, n_self, _ = bm.correspond_pixels(pred, pred, max_dist=0.002)
+    assert int(n_self) == int(pred.sum())
+
+
 def test_binary_thin_reduces_to_lines():
     if bm._get_lib() is None:
         pytest.skip('no native matcher')
