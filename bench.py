@@ -1,22 +1,48 @@
-"""Benchmark: batched depth+edge inference throughput at 384x1280.
+"""Benchmark: depth+edge inference at 384x1280 — END-TO-END serving loop.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
-Protocol (BASELINE.md): the reference runs an unbatched per-image Python
-loop (infer_edges.py:115-120) with host cv2/PIL preprocessing on one CUDA
-GPU; no number is published.  ``vs_baseline`` is measured img/s divided by a
-10 img/s reference estimate (PackNet-SAN at 384x1280 forward+host post ~0.1
-s/img on the reference's single-GPU setup); the estimate is recorded here so
-the ratio is auditable.
+Protocol (BASELINE.md): the reference runs an unbatched per-image Python loop
+(``infer_edges.py:115-120``) — file read, PIL/cv2 host preprocessing, CUDA
+forward, depth fetched back to host — on one GPU; no number is published, so
+``vs_baseline`` divides by a 10 img/s reference estimate (PackNet-SAN at
+384x1280, ~0.1 s/img including host work; recorded here so the ratio is
+auditable).
+
+Two measurements, both reported:
+
+* ``value`` (primary, honest end-to-end): real KITTI-DE PNG files from
+  ``/root/reference/data/kitti_de/rgb`` -> decode -> resize -> device
+  forward + fused in-graph NMS edge extraction -> **float32 metric depth map
+  + uint8 edge annotation fetched to host as numpy** (the two artifacts the
+  reference loop writes: depth .npy + edge .png).  Three pipeline stages in
+  separate threads — preprocess, upload+dispatch, download — so host IO,
+  host->device bytes, device compute, and device->host bytes all overlap,
+  exactly like ``cli/infer_edges.py``'s serving loop.
+* ``device_img_per_s`` (secondary): the compiled program alone (model fwd +
+  edge NMS, checksum reduced in-graph), the device-roofline number.
+
+Serving-path choices (all bit-identical to the float pipeline): images ship
+to the device as uint8 and normalize in-graph (``u8/255`` is exactly the
+host float path; 4x fewer PCIe/link bytes), edges ship back as the binary
+uint8 map the annotation CLI writes to PNG.  On this environment's relayed
+TPU the host<->device link is ~45 MB/s with no concurrent streams per
+direction (measured; real hosts have GB/s PCIe), so the e2e number is
+link-bound: ``device_img_per_s`` is the hardware's serving ceiling and
+``value`` is this link's honest end-to-end throughput.
 """
 
 import json
+import os
+import queue
+import threading
 import time
 
 import numpy as np
 
 REFERENCE_EST_IMG_PER_S = 10.0
 H, W = 384, 1280
+RGB_DIR = '/root/reference/data/kitti_de/rgb'
 WARMUP = 2
 ITERS = 10
 
@@ -30,7 +56,7 @@ def _setup_cache():
         pass
 
 
-def _bench(batch, dtype_name):
+def _build(batch, dtype_name):
     import jax
     import jax.numpy as jnp
     from mindtheedge_tpu.models.packnet import PackNetSAN
@@ -40,7 +66,6 @@ def _bench(batch, dtype_name):
     dtype = jnp.bfloat16 if dtype_name == 'bf16' else jnp.float32
     model = PackNetSAN(version='1A')
     rng = np.random.RandomState(0)
-    rgb = jnp.asarray(rng.rand(batch, H, W, 3).astype(np.float32)).astype(dtype)
     lidar = rng.rand(batch, H, W, 1).astype(np.float32) * 80.0
     lidar[rng.rand(batch, H, W, 1) < 0.95] = 0.0
     lidar = jnp.asarray(lidar).astype(dtype)
@@ -52,46 +77,140 @@ def _bench(batch, dtype_name):
     variables = jax.tree_util.tree_map(
         lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, variables)
 
-    @jax.jit
-    def forward(variables, rgb, lidar):
+    def _depth_edges(variables, rgb, lidar):
         out = model.apply(variables, rgb, lidar, train=False)
         inv_depth = out['inv_depths'][0][..., 0].astype(jnp.float32)
         depth = inv2depth(inv_depth)
         prob = jnp.clip(inv_depth / 2.0, 0.0, 1.0)
         edges = non_max_suppression(prob)
+        return depth, edges
+
+    @jax.jit
+    def forward_checksum(variables, rgb, lidar):
+        depth, edges = _depth_edges(variables, rgb, lidar)
         return depth.mean() + edges.sum()
 
-    # Pipelined throughput: dispatch all iterations asynchronously with
-    # DISTINCT inputs (the remote relay memoizes identical (program, args)
-    # executions!), then sync on the sum of every checksum.  The ~17 ms
-    # relay dispatch latency overlaps device compute, like a real serving
-    # loop; a dependency-chained loop would serialize latency+compute.
+    @jax.jit
+    def forward_serving(variables, rgb_u8, lidar):
+        # in-graph normalize: u8/255 == the host float path bit-for-bit
+        rgb = (rgb_u8.astype(jnp.float32) / 255.0).astype(dtype)
+        depth, edges = _depth_edges(variables, rgb, lidar)
+        edge_png = (edges > 0.5).astype(jnp.uint8)   # the PNG the CLI writes
+        return depth, edge_png
+
+    return dict(dtype=dtype, variables=variables, lidar=lidar,
+                forward_checksum=forward_checksum,
+                forward_serving=forward_serving)
+
+
+def _bench_device(ctx, batch):
+    """Device-program throughput (checksum-reduced; relay-safe distinct inputs)."""
+    import jax.numpy as jnp
+    rng = np.random.RandomState(0)
+    rgb = jnp.asarray(rng.rand(batch, H, W, 3).astype(np.float32)).astype(ctx['dtype'])
+    fwd, variables, lidar = ctx['forward_checksum'], ctx['variables'], ctx['lidar']
     rgbs = [rgb + jnp.asarray(i, rgb.dtype) * 1e-3 for i in range(ITERS)]
     for i in range(WARMUP):
-        float(forward(variables, rgbs[i % ITERS], lidar))
+        float(fwd(variables, rgbs[i % ITERS], lidar))
     t0 = time.perf_counter()
-    checksums = [forward(variables, rgbs[i], lidar) for i in range(ITERS)]
+    checksums = [fwd(variables, rgbs[i], lidar) for i in range(ITERS)]
     total = float(sum(checksums))
     dt = time.perf_counter() - t0
     assert np.isfinite(total)
     return batch * ITERS / dt
 
 
+def _preprocess(path):
+    """Decode + resize one image to uint8 RGB (host).  cv2 is used for speed;
+    output matches the PIL path byte-for-byte at the fixtures' native
+    1280x384 (no resample) and the CLI keeps the protocol-parity PIL reader."""
+    import cv2
+    im = cv2.imread(path, cv2.IMREAD_COLOR)      # BGR uint8
+    im = np.ascontiguousarray(im[:, :, ::-1])    # RGB
+    if im.shape[:2] != (H, W):
+        im = cv2.resize(im, (W, H), interpolation=cv2.INTER_LINEAR)
+    return im
+
+
+def _bench_end_to_end(ctx, batch):
+    """File -> preprocess -> device -> depth+edges fetched to host.
+
+    Three threads: preprocess producer, upload+dispatch (main), download
+    consumer.  The relay link is full-duplex for one upload + one download
+    stream (measured; a second stream per direction wedges it), so each
+    direction gets exactly one thread.
+    """
+    import jax.numpy as jnp
+    files = sorted(os.path.join(RGB_DIR, f) for f in os.listdir(RGB_DIR)
+                   if f.endswith('.png'))
+    n_batches = len(files) // batch
+    files = files[:n_batches * batch]
+
+    fwd, variables, lidar = ctx['forward_serving'], ctx['variables'], ctx['lidar']
+
+    # warm the compile + page cache with the first batch
+    warm = np.stack([_preprocess(p) for p in files[:batch]])
+    d, e = fwd(variables, jnp.asarray(warm), lidar)
+    np.asarray(d), np.asarray(e)
+
+    pre_q = queue.Queue(maxsize=4)
+    out_q = queue.Queue(maxsize=4)
+    sink = {'checksum': 0.0, 'count': 0}
+
+    def producer():
+        for i in range(n_batches):
+            chunk = files[i * batch:(i + 1) * batch]
+            pre_q.put(np.stack([_preprocess(p) for p in chunk]))
+        pre_q.put(None)
+
+    def downloader():
+        while True:
+            item = out_q.get()
+            if item is None:
+                return
+            d, e = item
+            depth_np = np.asarray(d)          # the host fetch the protocol demands
+            edge_np = np.asarray(e)
+            sink['checksum'] += float(depth_np[0, 0, 0]) + float(edge_np[0].max())
+            sink['count'] += depth_np.shape[0]
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=producer, daemon=True),
+               threading.Thread(target=downloader, daemon=True)]
+    for th in threads:
+        th.start()
+    while True:
+        host_batch = pre_q.get()
+        if host_batch is None:
+            break
+        out_q.put(fwd(variables, jnp.asarray(host_batch), lidar))
+    out_q.put(None)
+    for th in threads:
+        th.join()
+    dt = time.perf_counter() - t0
+    assert np.isfinite(sink['checksum']) and sink['count'] == n_batches * batch
+    return n_batches * batch / dt
+
+
 def main():
     _setup_cache()
-    ips = None
+    dev_ips = e2e_ips = None
     for batch in (8, 4, 2, 1):
         try:
-            ips = _bench(batch, 'bf16')
+            ctx = _build(batch, 'bf16')
+            dev_ips = _bench_device(ctx, batch)
+            e2e_ips = _bench_end_to_end(ctx, batch)
             break
         except Exception as e:  # HBM OOM at this batch -> halve
             if 'RESOURCE_EXHAUSTED' not in str(e) and 'memory' not in str(e).lower():
                 raise
     print(json.dumps({
-        'metric': 'depth_edge_inference_images_per_sec_384x1280',
-        'value': round(ips, 3),
+        'metric': 'depth_edge_e2e_serving_images_per_sec_384x1280',
+        'value': round(e2e_ips, 3),
         'unit': 'img/s',
-        'vs_baseline': round(ips / REFERENCE_EST_IMG_PER_S, 3),
+        'vs_baseline': round(e2e_ips / REFERENCE_EST_IMG_PER_S, 3),
+        'device_img_per_s': round(dev_ips, 3),
+        'device_vs_baseline': round(dev_ips / REFERENCE_EST_IMG_PER_S, 3),
     }))
 
 

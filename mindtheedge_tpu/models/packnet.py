@@ -37,16 +37,25 @@ NUM_3D_FEAT = 4
 
 
 class PackNetSlimEncoder(nn.Module):
-    """Reference ``PackNetSlimEnc01`` (``PackNetSAN01.py:22-61``)."""
+    """Reference ``PackNetSlimEnc01`` (``PackNetSAN01.py:22-61``).
+
+    ``phase_packed_stem`` computes the 7x7 full-res ``conv1`` as a stride-2
+    phase-expanded conv whose output IS ``pack2d(x1)``, feeding ``pack1``
+    directly (``ops/phase_conv.py``): exact same math, ~4x MXU lane
+    utilization on the most expensive conv in the network.
+    """
     dropout: Optional[float] = None
     channels: tuple = SLIM_CHANNELS
+    phase_packed_stem: bool = True
 
     @nn.compact
     def __call__(self, rgb, train: bool = False):
         ni, n1, n2, n3, n4, n5 = self.channels
+        pp = self.phase_packed_stem
         x = ConvBlock(ni, 5, 1, name='pre_calc')(rgb)
-        x1 = ConvBlock(n1, 7, 1, name='conv1')(x)
-        x1p = PackLayerConv3d(n1, PACK_KERNEL[0], d=NUM_3D_FEAT, name='pack1')(x1)
+        x1 = ConvBlock(n1, 7, 1, phase_pack=pp, name='conv1')(x)
+        x1p = PackLayerConv3d(n1, PACK_KERNEL[0], d=NUM_3D_FEAT,
+                              input_packed=pp, name='pack1')(x1)
         x2 = ResidualBlock(n2, NUM_BLOCKS[0], 1, self.dropout, name='conv2')(x1p, train)
         x2p = PackLayerConv3d(n2, PACK_KERNEL[1], d=NUM_3D_FEAT, name='pack2')(x2)
         x3 = ResidualBlock(n3, NUM_BLOCKS[1], 1, self.dropout, name='conv3')(x2p, train)

@@ -19,8 +19,11 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+from flax.linen.dtypes import promote_dtype
 
 from mindtheedge_tpu.ops.packing import pack2d, unpack2d
+from mindtheedge_tpu.ops.phase_conv import (
+    expand_kernel_phase, expand_kernel_phase2, unpack_w)
 
 _xavier = nn.initializers.xavier_uniform()
 
@@ -34,9 +37,17 @@ class GroupNorm(nn.Module):
     but it never reshapes the [B,H,W,C] activation (a [B,HW,G,C/G] reshape
     puts C/G=2..32 on the lane dimension, forcing relayouts), and the
     normalization is a single fused scale+shift pass.
+
+    ``channel_repeat`` > 1 serves phase-packed activations (see
+    ``ops/phase_conv.py``): parameters are declared per *original* channel
+    (c // channel_repeat, keeping the checkpoint tree identical) and repeated
+    over the packed phases.  Because each group's packed channels cover
+    exactly the original group's (channel, pixel) set, the statistics are
+    bit-equal to the unpacked GroupNorm.
     """
     num_groups: int = 16
     epsilon: float = 1e-5
+    channel_repeat: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -44,8 +55,15 @@ class GroupNorm(nn.Module):
         g = self.num_groups
         assert c % g == 0, f'channels {c} not divisible by {g} groups'
         gs = c // g
-        scale = self.param('scale', nn.initializers.ones, (c,), jnp.float32)
-        bias = self.param('bias', nn.initializers.zeros, (c,), jnp.float32)
+        scale = self.param('scale', nn.initializers.ones,
+                           (c // self.channel_repeat,), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros,
+                          (c // self.channel_repeat,), jnp.float32)
+        if self.channel_repeat > 1:
+            assert gs % self.channel_repeat == 0, \
+                'phase quads must not straddle group boundaries'
+            scale = jnp.repeat(scale, self.channel_repeat)
+            bias = jnp.repeat(bias, self.channel_repeat)
 
         xf = x.astype(jnp.float32)
         mean_c = jnp.mean(xf, axis=(1, 2))               # [B,C]
@@ -62,21 +80,72 @@ class GroupNorm(nn.Module):
         return y
 
 
+class _ConvParams(nn.Module):
+    """Bare conv parameters, same tree as ``nn.Conv`` ({kernel, bias})."""
+    features: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, in_features):
+        k = self.kernel_size
+        kernel = self.param('kernel', _xavier,
+                            (k, k, in_features, self.features), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class ConvBlock(nn.Module):
-    """Conv(k, stride, SAME-zero-pad) + GroupNorm(16) + ELU."""
+    """Conv(k, stride, SAME-zero-pad) + GroupNorm(16) + ELU.
+
+    ``phase_pack=True`` emits ``pack2d(conv(x), 2)`` directly via a stride-2
+    conv with a phase-expanded kernel (``ops/phase_conv.py``) — exact same
+    math, 4x MXU output-lane utilization for narrow full-res layers.  The
+    parameter tree is identical either way.
+    """
     out_channels: int
     kernel_size: int
     stride: int = 1
+    phase_pack: bool = False       # emit pack2d(conv(x)) (output stays packed)
+    auto_lane_pack: bool = True    # W-phase-pack narrow convs internally
 
     @nn.compact
     def __call__(self, x):
         p = self.kernel_size // 2
-        x = nn.Conv(self.out_channels, (self.kernel_size, self.kernel_size),
-                    strides=(self.stride, self.stride),
-                    padding=[(p, p), (p, p)],
-                    kernel_init=_xavier, name='conv')(x)
-        x = GroupNorm(num_groups=16, epsilon=1e-5, name='norm')(x)
-        return nn.elu(x)
+        kernel, bias = _ConvParams(self.out_channels, self.kernel_size,
+                                   name='conv')(x.shape[-1])
+        x, kernel, bias = promote_dtype(x, kernel, bias, dtype=None)
+        # W-only lane packing: compute the conv phase-packed along W so the
+        # output channel (lane) dim is r*co instead of co, then unpack after
+        # the (phase-invariant) GroupNorm+ELU.  Exact same math; the MXU runs
+        # narrow-out convs (co=32) at ~1-5% lane efficiency otherwise.
+        rw = 1
+        if (self.auto_lane_pack and not self.phase_pack and self.stride == 1
+                and self.out_channels < 128 and self.out_channels % 16 == 0):
+            rw = min(4, 128 // self.out_channels)
+            while rw > 1 and x.shape[2] % rw != 0:
+                rw //= 2
+        if self.phase_pack:
+            assert self.stride == 1, 'phase_pack requires stride 1'
+            kernel = expand_kernel_phase2(kernel)
+            bias = jnp.repeat(bias, 4)
+            strides = (2, 2)
+        elif rw > 1:
+            kernel = expand_kernel_phase(kernel, 1, rw)
+            bias = jnp.repeat(bias, rw)
+            strides = (1, rw)
+        else:
+            strides = (self.stride, self.stride)
+        x = jax.lax.conv_general_dilated(
+            x, kernel, strides, [(p, p), (p, p)],
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC')) + bias
+        repeat = 4 if self.phase_pack else rw
+        x = GroupNorm(num_groups=16, epsilon=1e-5, channel_repeat=repeat,
+                      name='norm')(x)
+        x = nn.elu(x)
+        if rw > 1:
+            x = unpack_w(x, rw)
+        return x
 
 
 class ResidualConv(nn.Module):
@@ -133,32 +202,68 @@ class InvDepthHead(nn.Module):
         return nn.sigmoid(x) / self.min_depth
 
 
+def _conv3d_tridiag_kernel(kernel, g):
+    """Dense no-halo 2D kernel [3,3,g,d*g] expressing the channel-depth 3D
+    conv: K2[dh, dw, j, f*g + z] = K3[dz = j - z + 1, dh, dw, 0, f] for
+    |j - z| <= 1, zero elsewhere — a block-tridiagonal matrix over (in, out)
+    channels whose zero boundary rows ARE the 3D conv's z padding.
+
+    Built via a constant 0/1 einsum: TPU lowers gathers to serial scalar
+    loops and a lane-dimension ``jnp.pad`` costs a full unaligned relayout
+    (146 ms measured at pack1 scale), so the kernel uses neither.
+    """
+    import numpy as np
+    d_feat = kernel.shape[-1]
+    k3 = kernel[:, :, :, 0, :]                       # [dz, dh, dw, f]
+    sel = np.zeros((3, g, g), np.float32)            # [dz, j, z]
+    for dz in range(3):
+        j = np.arange(g) + dz - 1
+        ok = (j >= 0) & (j < g)
+        sel[dz, j[ok], np.arange(g)[ok]] = 1.0
+    k2 = jnp.einsum('djz,dabf->abjfz', jnp.asarray(sel, kernel.dtype), k3)
+    return k2.reshape(3, 3, g, d_feat * g)
+
+
 def _conv3d_over_channels(x, kernel):
-    """3x3x3 conv over (channel-as-depth, H, W) with 1 input feature.
+    """3x3x3 conv over (channel-as-depth, H, W) with 1 input feature, NO bias.
 
     x: [B,H,W,D]  kernel: [3,3,3,1,d]  ->  [B,H,W,d*D] flattened so that the
     output channel index is feat*D + depth, matching the reference's
     ``x.view(b, c*d, h, w)`` (``layers01.py:245-246``).
 
-    TPU formulation: a true 3D conv with 1 input feature wastes the MXU
-    (feature dim padded to the lane width).  Equivalent batched-2D form:
-    fold D into the batch and stack the three channel shifts as input
-    features — out[b,z] = conv2d([x[z-1], x[z], x[z+1]]; K) — measured 2.6x
-    faster than the NDHWC conv at pack1 scale.
+    TPU formulation: one dense 2D conv with the block-tridiagonal [3,3,D,4D]
+    kernel.  The multiply-by-zeros inflate FLOPs by D/3 over the minimal
+    count, but the matmul has full lane utilization, reads x in its native
+    layout (no channel pad, no transposes, no gathers — each of which costs
+    a full-tensor relayout on TPU), and the output channel order f*D+z falls
+    out directly.  For the large-D pack layers the conv3d is composed into
+    the following ConvBlock conv instead (``_PackConvBlock``).
     """
-    b, h, w, d_depth = x.shape
-    d_feat = kernel.shape[-1]
-    k2d = kernel.astype(x.dtype)[:, :, :, 0, :].transpose(1, 2, 0, 3)  # [3,3,3(dz),d]
-    xt = x.transpose(0, 3, 1, 2)                          # [B,D,H,W]
-    xp = jnp.pad(xt, ((0, 0), (1, 1), (0, 0), (0, 0)))
-    x3 = jnp.stack([xp[:, 0:d_depth], xp[:, 1:d_depth + 1],
-                    xp[:, 2:d_depth + 2]], axis=-1)       # [B,D,H,W,3]
-    x3 = x3.reshape(b * d_depth, h, w, 3)
-    y = jax.lax.conv_general_dilated(
-        x3, k2d, (1, 1), [(1, 1), (1, 1)],
-        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))       # [B*D,H,W,d]
-    y = y.reshape(b, d_depth, h, w, d_feat).transpose(0, 2, 3, 4, 1)
-    return y.reshape(b, h, w, d_feat * d_depth)
+    k2 = _conv3d_tridiag_kernel(kernel, x.shape[-1]).astype(x.dtype)
+    return jax.lax.conv_general_dilated(
+        x, k2, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+
+def _lane_pack_width(out_channels, w):
+    """W-phase packing factor for a stride-1 conv with ``out_channels`` lanes."""
+    if out_channels >= 128 or out_channels % 16 != 0:
+        return 1
+    rw = min(4, 128 // out_channels)
+    while rw > 1 and w % rw != 0:
+        rw //= 2
+    return rw
+
+
+class _Conv3dParams(nn.Module):
+    """Bare parameters of the pack/unpack 3D conv (tree: {kernel, bias})."""
+    d: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param('kernel', _xavier, (3, 3, 3, 1, self.d), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (self.d,), jnp.float32)
+        return kernel, bias
 
 
 class Conv3dOverChannels(nn.Module):
@@ -169,28 +274,126 @@ class Conv3dOverChannels(nn.Module):
     def __call__(self, x):
         kernel = self.param('kernel', _xavier, (3, 3, 3, 1, self.d), jnp.float32)
         bias = self.param('bias', nn.initializers.zeros, (self.d,), jnp.float32)
-        y = _conv3d_over_channels(x, kernel)
-        b, h, w, _ = y.shape
-        d_depth = x.shape[-1]
-        y = y.reshape(b, h, w, self.d, d_depth) + bias.astype(y.dtype)[None, None, None, :, None]
-        return y.reshape(b, h, w, self.d * d_depth)
+        y = _conv3d_over_channels(x, kernel.astype(x.dtype))
+        return y + jnp.repeat(bias, x.shape[-1]).astype(y.dtype)
+
+
+def _compose_pack_kernel(k3, kernel2, d):
+    """Compose the channel-depth conv3d (k3 [3,3,3,1,d]) with the following
+    k x k conv (kernel2 [k, k, d*D, C]) into ONE (k+2)x(k+2) conv kernel
+    [k+2, k+2, D, C] over the pack layer's input.
+
+    Both ops are linear, so conv2 (conv3d (x)) == conv(x, Kc) away from the
+    image border (the reference zero-pads the *biased* intermediate, so the
+    outermost k//2 rows/cols differ — recomputed exactly on thin strips by
+    the caller).  Fusing skips the 4*D-channel intermediate entirely: at
+    pack1 scale that is 1 GB of HBM round-trip plus a ~1% MXU-efficiency
+    matmul replaced by one full-lane conv.
+    """
+    k = kernel2.shape[0]
+    C = kernel2.shape[3]
+    D = kernel2.shape[2] // d
+    K2r = kernel2.reshape(k, k, d, D, C)
+    K3 = k3[:, :, :, 0, :]                            # [dz, dh1, dw1, f]
+    E = jnp.einsum('pqrf,abfzc->pqrabzc', K3, K2r)    # [3,3,3,k,k,D,C]
+    Kc = jnp.zeros((k + 2, k + 2, D, C), kernel2.dtype)
+    for dz in range(3):
+        # place K2r[..., z, :] at zin = z + dz - 1 (z-shift via pad+slice)
+        Ez = jnp.pad(E[dz], ((0, 0), (0, 0), (0, 0), (0, 0), (1, 1), (0, 0)))
+        Ez = Ez[:, :, :, :, 2 - dz:2 - dz + D, :]
+        for dh1 in range(3):
+            for dw1 in range(3):
+                Kc = Kc.at[dh1:dh1 + k, dw1:dw1 + k].add(Ez[dh1, dw1])
+    return Kc
+
+
+class _PackConvBlock(nn.Module):
+    """conv3d + ConvBlock of a pack layer, computed as ONE composed conv.
+
+    Interior: ``conv(x, Kc, pad p+1)`` + composed bias (for in-interior
+    positions every ConvBlock tap is in-bounds, so the conv3d bias
+    contribution is a constant vector), W-lane-packed for full MXU lanes.
+    Border (outermost p rows/cols): the reference zero-pads the biased
+    conv3d output before the ConvBlock conv (``layers01.py:214-248``), which
+    the composed conv cannot express — recomputed exactly on (2p+1)-wide
+    strips via the unfused pipeline and spliced in.  Falls back to the plain
+    unfused pipeline when the input is too small for strips.  Parameter tree
+    identical to ConvBlock ('conv' + 'norm').
+    """
+    out_channels: int
+    kernel_size: int
+    d: int
+
+    @nn.compact
+    def __call__(self, x, k3, b3):
+        b, h, w, D = x.shape
+        k = self.kernel_size
+        p = k // 2
+        kernel, bias = _ConvParams(self.out_channels, k,
+                                   name='conv')(self.d * D)
+        x, kernel, bias, k3, b3 = promote_dtype(
+            x, kernel, bias, k3, b3, dtype=None)
+        C = self.out_channels
+        dn = ('NHWC', 'HWIO', 'NHWC')
+
+        def strip_pipe(xs):
+            y1 = _conv3d_over_channels(xs, k3) + jnp.repeat(b3, D)
+            return jax.lax.conv_general_dilated(
+                y1, kernel, (1, 1), [(p, p), (p, p)],
+                dimension_numbers=dn) + bias
+
+        if h < 2 * p + 1 or w < 2 * p + 1:
+            y = strip_pipe(x)
+        else:
+            Kc = _compose_pack_kernel(k3, kernel, self.d)
+            cbias = bias + jnp.einsum(
+                'abfzc,f->c', kernel.reshape(k, k, self.d, D, C), b3)
+            rw = _lane_pack_width(C, w)
+            if rw > 1:
+                Kc = expand_kernel_phase(Kc, 1, rw)
+                cbias = jnp.repeat(cbias, rw)
+            y = jax.lax.conv_general_dilated(
+                x, Kc, (1, rw), [(p + 1, p + 1), (p + 1, p + 1)],
+                dimension_numbers=dn) + cbias
+            if rw > 1:
+                y = unpack_w(y, rw)
+            # exact border bands, spliced via dynamic_update_slice (an
+            # explicit jnp.pad-to-full-size + where costs 150+ ms on TPU —
+            # large-tensor pads are full unaligned relayouts; DUS is ~1 ms)
+            ts = strip_pipe(x[:, :2 * p + 1])[:, :p]
+            bs = strip_pipe(x[:, h - 2 * p - 1:])[:, p + 1:]
+            ls = strip_pipe(x[:, :, :2 * p + 1])[:, :, :p]
+            rs = strip_pipe(x[:, :, w - 2 * p - 1:])[:, :, p + 1:]
+            y = jax.lax.dynamic_update_slice(y, ts, (0, 0, 0, 0))
+            y = jax.lax.dynamic_update_slice(y, bs, (0, h - p, 0, 0))
+            y = jax.lax.dynamic_update_slice(y, ls, (0, 0, 0, 0))
+            y = jax.lax.dynamic_update_slice(y, rs, (0, 0, w - p, 0))
+        y = GroupNorm(num_groups=16, epsilon=1e-5, name='norm')(y)
+        return nn.elu(y)
 
 
 class PackLayerConv3d(nn.Module):
     """pack(r=2) -> 3D conv(1->d) over channels -> ConvBlock back to C.
 
-    Reference ``layers01.py:214-248``.
+    Reference ``layers01.py:214-248``.  ``input_packed=True`` means the input
+    is already in pack2d layout (produced by a phase-packed ConvBlock) and
+    the space-to-depth step is skipped.  The conv3d + ConvBlock pair runs as
+    one composed conv (see ``_PackConvBlock``) — exact same math, same
+    parameter tree.
     """
     in_channels: int
     kernel_size: int
     r: int = 2
     d: int = 8
+    input_packed: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = pack2d(x, self.r)
-        x = Conv3dOverChannels(self.d, name='conv3d')(x)
-        return ConvBlock(self.in_channels, self.kernel_size, 1, name='conv')(x)
+        if not self.input_packed:
+            x = pack2d(x, self.r)
+        k3, b3 = _Conv3dParams(self.d, name='conv3d')()
+        return _PackConvBlock(self.in_channels, self.kernel_size, self.d,
+                              name='conv')(x, k3, b3)
 
 
 class UnpackLayerConv3d(nn.Module):

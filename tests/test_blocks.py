@@ -59,3 +59,41 @@ def test_conv3d_over_channels_matches_torch_conv3d():
     jy = np.asarray(mod.apply({'params': params}, jnp.asarray(x)))
 
     np.testing.assert_allclose(jy, ty, rtol=1e-4, atol=1e-4)
+
+
+def test_phase_packed_convblock_exact():
+    """phase_pack=True output == pack2d(ConvBlock(x)) exactly (phase_conv.py)."""
+    from mindtheedge_tpu.ops.packing import pack2d
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, 16, 24, 32).astype(np.float32)
+
+    for k in (3, 5, 7):
+        ref = ConvBlock(32, k, 1, phase_pack=False)
+        pp = ConvBlock(32, k, 1, phase_pack=True)
+        params = ref.init(jax.random.PRNGKey(k), jnp.asarray(x))
+        # identical parameter trees by construction
+        params_pp = pp.init(jax.random.PRNGKey(k), jnp.asarray(x))
+        assert (jax.tree_util.tree_structure(params)
+                == jax.tree_util.tree_structure(params_pp))
+        y_ref = pack2d(ref.apply(params, jnp.asarray(x)), 2)
+        y_pp = pp.apply(params, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(y_pp), np.asarray(y_ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_phase_packed_encoder_matches_reference_path():
+    """Full encoder with phase_packed_stem on == off (same params)."""
+    from mindtheedge_tpu.models.packnet import PackNetSlimEncoder
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32))
+    enc_ref = PackNetSlimEncoder(phase_packed_stem=False)
+    enc_pp = PackNetSlimEncoder(phase_packed_stem=True)
+    v = enc_ref.init(jax.random.PRNGKey(0), x, False)
+    assert (jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        enc_pp.init(jax.random.PRNGKey(0), x, False)))
+    a5, askips = enc_ref.apply(v, x, False)
+    b5, bskips = enc_pp.apply(v, x, False)
+    for a, b in zip([a5] + askips, [b5] + bskips):
+        # float reassociation accumulates through 5 pack levels: ~1e-5 abs
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
