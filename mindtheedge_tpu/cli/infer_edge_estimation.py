@@ -39,6 +39,8 @@ def save_split_list(rgb_files, lidar_files, save_folder_edges,
 
 def main(argv=None):
     args = parse_args(argv)
+    from mindtheedge_tpu.parallel.distributed import maybe_initialize_distributed
+    maybe_initialize_distributed()
     import cv2
     import jax
     import jax.numpy as jnp

@@ -122,6 +122,8 @@ def save_depth_outputs(pred_depth, out_base, save_cfg):
 
 def main(argv=None):
     args = parse_args(argv)
+    from mindtheedge_tpu.parallel.distributed import maybe_initialize_distributed
+    maybe_initialize_distributed()
     import jax
     import jax.numpy as jnp
     from mindtheedge_tpu.config import parse_test_file, get_cfg_defaults, prepare_config

@@ -14,6 +14,8 @@ def parse_args(argv=None):
 
 
 def train(file):
+    from mindtheedge_tpu.parallel.distributed import maybe_initialize_distributed
+    maybe_initialize_distributed()
     import jax
     from mindtheedge_tpu.config import parse_train_file
     from mindtheedge_tpu.training.experiment import Experiment

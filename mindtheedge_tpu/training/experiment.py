@@ -341,6 +341,14 @@ class Experiment:
                     k = f'edges/{name}'
                     sums[k] = sums.get(k, 0.0) + float(val)
             count += 1
+        if jax.process_count() > 1:
+            # cross-host metric reduction (reference utils/reduce.py:33-82 /
+            # horovod.py:32-50): sum the per-process sums and counts so the
+            # mean is sample-weighted across the rank-strided val shards
+            from mindtheedge_tpu.utils.reduce import reduce_value
+            sums = {k: float(reduce_value(v, average=False))
+                    for k, v in sums.items()}
+            count = int(reduce_value(count, average=False))
         means = {k: v / max(count, 1) for k, v in sums.items()}
         if means:
             print('Validation: ' +

@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax
+import jax.experimental
 import jax.numpy as jnp
 import pytest
 
@@ -36,3 +37,87 @@ def test_sharded_batch_gradients_match_single_device():
 
     np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-5)
+
+def test_reduce_value_single_process_identity():
+    """reduce_value is the identity when process_count()==1 (the no-op
+    contract of reference horovod.py:32-50 without an MPI launch)."""
+    from mindtheedge_tpu.utils.reduce import reduce_value
+    assert reduce_value(3.5, average=True) == 3.5
+    assert reduce_value(7, average=False) == 7
+
+
+def test_reduce_value_multiprocess_semantics(monkeypatch):
+    """Cross-process mean/sum semantics, with process_allgather stubbed the
+    way a 4-host launch would see it (each host contributes its local value).
+    """
+    import mindtheedge_tpu.utils.reduce as R
+
+    class FakeMHU:
+        @staticmethod
+        def process_allgather(x):
+            v = np.asarray(x)
+            return np.stack([v + i for i in range(4)])
+
+    monkeypatch.setattr(jax, 'process_count', lambda: 4)
+    monkeypatch.setattr(jax.experimental, 'multihost_utils', FakeMHU,
+                        raising=False)
+    import sys
+    monkeypatch.setitem(sys.modules, 'jax.experimental.multihost_utils',
+                        FakeMHU)
+    assert R.reduce_value(10.0, average=True) == 11.5     # mean(10..13)
+    assert R.reduce_value(10.0, average=False) == 46.0    # sum(10..13)
+
+
+def test_maybe_initialize_distributed_no_op_single_host(monkeypatch):
+    """Without cluster env markers the distributed entry is a strict no-op
+    (must not touch the network or re-init the backend)."""
+    from mindtheedge_tpu.parallel import distributed
+    for var in ('JAX_COORDINATOR_ADDRESS', 'MTE_DISTRIBUTED',
+                *distributed._CLUSTER_ENV_MARKERS):
+        monkeypatch.delenv(var, raising=False)
+    assert distributed.maybe_initialize_distributed() is False
+
+    # single-worker TPU runtimes (this repo's relay injects
+    # TPU_WORKER_HOSTNAMES=localhost) must stay single-process
+    monkeypatch.setenv('TPU_WORKER_HOSTNAMES', 'localhost')
+    assert distributed.maybe_initialize_distributed() is False
+    monkeypatch.setenv('TPU_WORKER_HOSTNAMES', 'host-0,host-1')
+    assert distributed._multi_worker_env() is True
+
+    monkeypatch.setenv('MTE_DISTRIBUTED', '0')
+    monkeypatch.setenv('SLURM_JOB_ID', '123')   # disable flag wins
+    assert distributed.maybe_initialize_distributed() is False
+
+
+def test_validate_reduces_across_processes(monkeypatch):
+    """Experiment.validate sums metric sums and counts across processes
+    (sample-weighted mean over rank-strided shards)."""
+    from mindtheedge_tpu.training import experiment as E
+
+    calls = []
+
+    def fake_reduce(value, average=True, name=None):
+        calls.append((float(np.asarray(value)), average))
+        return np.asarray(value) * 2   # pretend 2 identical processes
+
+    monkeypatch.setattr(jax, 'process_count', lambda: 2)
+    import mindtheedge_tpu.utils.reduce as R
+    monkeypatch.setattr(R, 'reduce_value', fake_reduce)
+
+    exp = E.Experiment.__new__(E.Experiment)
+    exp.config = type('C', (), {})()
+    exp.config.model = type('M', (), {'name': 'SemiSupEdgeModel'})()
+    exp.config.edges = type('E2', (), {'depth_edges_metric_log': False})()
+    ds = type('D', (), {})()
+    ds.validation = type('V', (), {'gt_crop': None})()
+    exp.config.datasets = ds
+    exp.val_loader = [{}]   # one empty batch
+    monkeypatch.setattr(
+        E.Experiment, 'evaluate_depth',
+        lambda self, batch: {'metrics': {'depth': np.full(7, 3.0)},
+                             'inv_depth_pp': None, 'depth': None,
+                             'depth_pp': None})
+    means = exp.validate()
+    # every sum and the count doubled -> mean unchanged at 3.0
+    assert all(abs(v - 3.0) < 1e-9 for v in means.values()) and means
+    assert any(not avg for _, avg in calls)
