@@ -52,9 +52,14 @@ def conv2_single(img, kernel, reflect=True):
         img, [(0, 0), (p, p), (p, p)])
     x = x[..., None]                                    # [B,H+2p,W+2p,1]
     kern = jnp.asarray(kernel, dtype=img.dtype)[..., None, None]  # [k,k,1,1]
+    # HIGHEST: the TPU default truncates conv inputs to bf16 on the MXU,
+    # which shifts Sobel responses enough to flip NMS direction buckets
+    # (~2% of pixels on smooth inputs, measured); the reference computes in
+    # cv2 CV_64F, so full-f32 accumulation is the parity-correct choice.
     y = jax.lax.conv_general_dilated(
         x, kern, window_strides=(1, 1), padding='VALID',
-        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))[..., 0]
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        precision=jax.lax.Precision.HIGHEST)[..., 0]
     return y[0] if squeeze else y
 
 
