@@ -47,23 +47,37 @@ class PackNetSlimEncoder(nn.Module):
     dropout: Optional[float] = None
     channels: tuple = SLIM_CHANNELS
     phase_packed_stem: bool = True
+    spatial_axis: Optional[str] = None   # H-sharded mode (parallel/spatial.py)
 
     @nn.compact
     def __call__(self, rgb, train: bool = False):
         ni, n1, n2, n3, n4, n5 = self.channels
-        pp = self.phase_packed_stem
-        x = ConvBlock(ni, 5, 1, name='pre_calc')(rgb)
-        x1 = ConvBlock(n1, 7, 1, phase_pack=pp, name='conv1')(x)
+        sp = self.spatial_axis
+        # the phase-packed stem is a stride-2 conv; under H-sharding we keep
+        # the plain stride-1 + pack2d pipeline (correctness-first escape path)
+        pp = self.phase_packed_stem and sp is None
+        x = ConvBlock(ni, 5, 1, spatial_axis=sp, name='pre_calc')(rgb)
+        x1 = ConvBlock(n1, 7, 1, phase_pack=pp, spatial_axis=sp,
+                       name='conv1')(x)
         x1p = PackLayerConv3d(n1, PACK_KERNEL[0], d=NUM_3D_FEAT,
-                              input_packed=pp, name='pack1')(x1)
-        x2 = ResidualBlock(n2, NUM_BLOCKS[0], 1, self.dropout, name='conv2')(x1p, train)
-        x2p = PackLayerConv3d(n2, PACK_KERNEL[1], d=NUM_3D_FEAT, name='pack2')(x2)
-        x3 = ResidualBlock(n3, NUM_BLOCKS[1], 1, self.dropout, name='conv3')(x2p, train)
-        x3p = PackLayerConv3d(n3, PACK_KERNEL[2], d=NUM_3D_FEAT, name='pack3')(x3)
-        x4 = ResidualBlock(n4, NUM_BLOCKS[2], 1, self.dropout, name='conv4')(x3p, train)
-        x4p = PackLayerConv3d(n4, PACK_KERNEL[3], d=NUM_3D_FEAT, name='pack4')(x4)
-        x5 = ResidualBlock(n5, NUM_BLOCKS[3], 1, self.dropout, name='conv5')(x4p, train)
-        x5p = PackLayerConv3d(n5, PACK_KERNEL[4], d=NUM_3D_FEAT, name='pack5')(x5)
+                              input_packed=pp, spatial_axis=sp,
+                              name='pack1')(x1)
+        x2 = ResidualBlock(n2, NUM_BLOCKS[0], 1, self.dropout,
+                           spatial_axis=sp, name='conv2')(x1p, train)
+        x2p = PackLayerConv3d(n2, PACK_KERNEL[1], d=NUM_3D_FEAT,
+                              spatial_axis=sp, name='pack2')(x2)
+        x3 = ResidualBlock(n3, NUM_BLOCKS[1], 1, self.dropout,
+                           spatial_axis=sp, name='conv3')(x2p, train)
+        x3p = PackLayerConv3d(n3, PACK_KERNEL[2], d=NUM_3D_FEAT,
+                              spatial_axis=sp, name='pack3')(x3)
+        x4 = ResidualBlock(n4, NUM_BLOCKS[2], 1, self.dropout,
+                           spatial_axis=sp, name='conv4')(x3p, train)
+        x4p = PackLayerConv3d(n4, PACK_KERNEL[3], d=NUM_3D_FEAT,
+                              spatial_axis=sp, name='pack4')(x4)
+        x5 = ResidualBlock(n5, NUM_BLOCKS[3], 1, self.dropout,
+                           spatial_axis=sp, name='conv5')(x4p, train)
+        x5p = PackLayerConv3d(n5, PACK_KERNEL[4], d=NUM_3D_FEAT,
+                              spatial_axis=sp, name='pack5')(x5)
         return x5p, [x, x1p, x2p, x3p, x4p]
 
 
@@ -72,38 +86,54 @@ class PackNetDecoder(nn.Module):
     out_channels: int = 1
     version: str = 'A'
     channels: tuple = SLIM_CHANNELS
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x5p, skips):
         NI, N1, N2, N3, N4, N5 = self.channels
+        sp = self.spatial_axis
         skip1, skip2, skip3, skip4, skip5 = skips
         cat = (lambda a, b: jnp.concatenate([a, b], axis=-1)) if self.version == 'A' \
             else (lambda a, b: a + b)
 
-        unpack5 = UnpackLayerConv3d(N5, UNPACK_KERNEL[0], d=NUM_3D_FEAT, name='unpack5')(x5p)
-        iconv5 = ConvBlock(N5, ICONV_KERNEL[0], 1, name='iconv5')(cat(unpack5, skip5))
+        unpack5 = UnpackLayerConv3d(N5, UNPACK_KERNEL[0], d=NUM_3D_FEAT,
+                                    spatial_axis=sp, name='unpack5')(x5p)
+        iconv5 = ConvBlock(N5, ICONV_KERNEL[0], 1, spatial_axis=sp,
+                           name='iconv5')(cat(unpack5, skip5))
 
-        unpack4 = UnpackLayerConv3d(N4, UNPACK_KERNEL[1], d=NUM_3D_FEAT, name='unpack4')(iconv5)
-        iconv4 = ConvBlock(N4, ICONV_KERNEL[1], 1, name='iconv4')(cat(unpack4, skip4))
-        inv_depth4 = InvDepthHead(self.out_channels, name='disp4_layer')(iconv4)
+        unpack4 = UnpackLayerConv3d(N4, UNPACK_KERNEL[1], d=NUM_3D_FEAT,
+                                    spatial_axis=sp, name='unpack4')(iconv5)
+        iconv4 = ConvBlock(N4, ICONV_KERNEL[1], 1, spatial_axis=sp,
+                           name='iconv4')(cat(unpack4, skip4))
+        inv_depth4 = InvDepthHead(self.out_channels, spatial_axis=sp,
+                                  name='disp4_layer')(iconv4)
         up4 = upsample_nearest2x(inv_depth4)
 
-        unpack3 = UnpackLayerConv3d(N3, UNPACK_KERNEL[2], d=NUM_3D_FEAT, name='unpack3')(iconv4)
-        iconv3 = ConvBlock(N3, ICONV_KERNEL[2], 1, name='iconv3')(
+        unpack3 = UnpackLayerConv3d(N3, UNPACK_KERNEL[2], d=NUM_3D_FEAT,
+                                    spatial_axis=sp, name='unpack3')(iconv4)
+        iconv3 = ConvBlock(N3, ICONV_KERNEL[2], 1, spatial_axis=sp,
+                           name='iconv3')(
             jnp.concatenate([cat(unpack3, skip3), up4], axis=-1))
-        inv_depth3 = InvDepthHead(self.out_channels, name='disp3_layer')(iconv3)
+        inv_depth3 = InvDepthHead(self.out_channels, spatial_axis=sp,
+                                  name='disp3_layer')(iconv3)
         up3 = upsample_nearest2x(inv_depth3)
 
-        unpack2 = UnpackLayerConv3d(N2, UNPACK_KERNEL[3], d=NUM_3D_FEAT, name='unpack2')(iconv3)
-        iconv2 = ConvBlock(N2, ICONV_KERNEL[3], 1, name='iconv2')(
+        unpack2 = UnpackLayerConv3d(N2, UNPACK_KERNEL[3], d=NUM_3D_FEAT,
+                                    spatial_axis=sp, name='unpack2')(iconv3)
+        iconv2 = ConvBlock(N2, ICONV_KERNEL[3], 1, spatial_axis=sp,
+                           name='iconv2')(
             jnp.concatenate([cat(unpack2, skip2), up3], axis=-1))
-        inv_depth2 = InvDepthHead(self.out_channels, name='disp2_layer')(iconv2)
+        inv_depth2 = InvDepthHead(self.out_channels, spatial_axis=sp,
+                                  name='disp2_layer')(iconv2)
         up2 = upsample_nearest2x(inv_depth2)
 
-        unpack1 = UnpackLayerConv3d(N1, UNPACK_KERNEL[4], d=NUM_3D_FEAT, name='unpack1')(iconv2)
-        iconv1 = ConvBlock(N1, ICONV_KERNEL[4], 1, name='iconv1')(
+        unpack1 = UnpackLayerConv3d(N1, UNPACK_KERNEL[4], d=NUM_3D_FEAT,
+                                    spatial_axis=sp, name='unpack1')(iconv2)
+        iconv1 = ConvBlock(N1, ICONV_KERNEL[4], 1, spatial_axis=sp,
+                           name='iconv1')(
             jnp.concatenate([cat(unpack1, skip1), up2], axis=-1))
-        inv_depth1 = InvDepthHead(self.out_channels, name='disp1_layer')(iconv1)
+        inv_depth1 = InvDepthHead(self.out_channels, spatial_axis=sp,
+                                  name='disp1_layer')(iconv1)
 
         return [inv_depth1, inv_depth2, inv_depth3, inv_depth4]
 
@@ -130,6 +160,7 @@ class PackNetSAN(nn.Module):
     freeze_encoder: bool = False   # enforced by the optimizer partition, not here
     freeze_decoder: bool = False
     freeze_san: bool = False
+    spatial_axis: Optional[str] = None   # H-sharded rgb path (parallel/spatial.py)
 
     def setup(self):
         # jax.checkpoint on the big submodules trades recompute for HBM —
@@ -137,10 +168,12 @@ class PackNetSAN(nn.Module):
         Enc = nn.remat(PackNetSlimEncoder, static_argnums=(2,)) \
             if self.remat else PackNetSlimEncoder
         Dec = nn.remat(PackNetDecoder) if self.remat else PackNetDecoder
-        self.encoder = Enc(dropout=self.dropout, channels=self.channels)
+        self.encoder = Enc(dropout=self.dropout, channels=self.channels,
+                           spatial_axis=self.spatial_axis)
         self.decoder = Dec(out_channels=self.output_channels,
                            version=self.version[1:] or 'A',
-                           channels=self.channels)
+                           channels=self.channels,
+                           spatial_axis=self.spatial_axis)
         San = nn.remat(SparseDepthEncoder, static_argnums=(2,)) \
             if self.remat else SparseDepthEncoder
         self.mconvs = San(channels=tuple(self.channels[1:]))
@@ -150,6 +183,11 @@ class PackNetSAN(nn.Module):
 
     def run_network(self, rgb, input_depth=None, train=False):
         x5p, skips = self.encoder(rgb, train)   # positional: remat static arg
+        if input_depth is not None and self.spatial_axis is not None:
+            raise NotImplementedError(
+                'spatial sharding covers the RGB path (the high-res DDAD '
+                'use case runs without lidar input); the SAN branch needs '
+                'halo-aware masked pooling — run it unsharded')
         if input_depth is not None:
             san = self.mconvs(input_depth, train)
             w, b = self.weight, self.bias
@@ -195,14 +233,17 @@ class PackNet01(nn.Module):
     version: str = '1A'
     dropout: Optional[float] = None
     channels: tuple = FULL_CHANNELS
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, rgb, train: bool = False, **kwargs):
         x5p, skips = PackNetSlimEncoder(
-            dropout=self.dropout, channels=self.channels, name='encoder')(rgb, train)
+            dropout=self.dropout, channels=self.channels,
+            spatial_axis=self.spatial_axis, name='encoder')(rgb, train)
         inv_depths = PackNetDecoder(
             out_channels=1, version=self.version[1:] or 'A',
-            channels=self.channels, name='decoder')(x5p, skips)
+            channels=self.channels, spatial_axis=self.spatial_axis,
+            name='decoder')(x5p, skips)
         return {'inv_depths': inv_depths}
 
 

@@ -48,6 +48,7 @@ class GroupNorm(nn.Module):
     num_groups: int = 16
     epsilon: float = 1e-5
     channel_repeat: int = 1
+    spatial_axis: Optional[str] = None   # H-sharded stats (parallel/spatial.py)
 
     @nn.compact
     def __call__(self, x):
@@ -68,6 +69,11 @@ class GroupNorm(nn.Module):
         xf = x.astype(jnp.float32)
         mean_c = jnp.mean(xf, axis=(1, 2))               # [B,C]
         mean2_c = jnp.mean(jnp.square(xf), axis=(1, 2))  # [B,C]
+        if self.spatial_axis is not None:
+            # H-sharded input: shards are equal-height, so the mean of the
+            # per-shard means IS the exact global (H, W) moment
+            mean_c = jax.lax.pmean(mean_c, self.spatial_axis)
+            mean2_c = jax.lax.pmean(mean2_c, self.spatial_axis)
         mean_g = mean_c.reshape(b, g, gs).mean(-1)       # [B,G]
         mean2_g = mean2_c.reshape(b, g, gs).mean(-1)
         var_g = jnp.maximum(mean2_g - jnp.square(mean_g), 0.0)
@@ -108,6 +114,7 @@ class ConvBlock(nn.Module):
     stride: int = 1
     phase_pack: bool = False       # emit pack2d(conv(x)) (output stays packed)
     auto_lane_pack: bool = True    # W-phase-pack narrow convs internally
+    spatial_axis: Optional[str] = None   # H-sharded mode (parallel/spatial.py)
 
     @nn.compact
     def __call__(self, x):
@@ -115,6 +122,25 @@ class ConvBlock(nn.Module):
         kernel, bias = _ConvParams(self.out_channels, self.kernel_size,
                                    name='conv')(x.shape[-1])
         x, kernel, bias = promote_dtype(x, kernel, bias, dtype=None)
+        if self.spatial_axis is not None:
+            # H-sharded: halo-exchange p rows, VALID in H (W stays SAME);
+            # lane packing is W-only so it composes with the sharding
+            assert not self.phase_pack and self.stride == 1, \
+                'spatial sharding supports the plain stride-1 conv path'
+            from mindtheedge_tpu.parallel.spatial import halo_exchange_h
+            x = halo_exchange_h(x, p, self.spatial_axis)
+            rw = _lane_pack_width(self.out_channels, x.shape[2]) \
+                if self.auto_lane_pack else 1
+            if rw > 1:
+                kernel = expand_kernel_phase(kernel, 1, rw)
+                bias = jnp.repeat(bias, rw)
+            y = jax.lax.conv_general_dilated(
+                x, kernel, (1, rw), [(0, 0), (p, p)],
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC')) + bias
+            y = GroupNorm(num_groups=16, epsilon=1e-5, channel_repeat=rw,
+                          spatial_axis=self.spatial_axis, name='norm')(y)
+            y = nn.elu(y)
+            return unpack_w(y, rw) if rw > 1 else y
         # W-only lane packing: compute the conv phase-packed along W so the
         # output channel (lane) dim is r*co instead of co, then unpack after
         # the (phase-invariant) GroupNorm+ELU.  Exact same math; the MXU runs
@@ -157,11 +183,16 @@ class ResidualConv(nn.Module):
     out_channels: int
     stride: int = 1
     dropout: Optional[float] = None
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = ConvBlock(self.out_channels, 3, self.stride, name='conv1')(x)
-        y = ConvBlock(self.out_channels, 3, 1, name='conv2')(y)
+        if self.spatial_axis is not None:
+            assert self.stride == 1, 'spatial sharding: stride-1 blocks only'
+        y = ConvBlock(self.out_channels, 3, self.stride,
+                      spatial_axis=self.spatial_axis, name='conv1')(x)
+        y = ConvBlock(self.out_channels, 3, 1,
+                      spatial_axis=self.spatial_axis, name='conv2')(y)
         shortcut = nn.Conv(self.out_channels, (1, 1),
                            strides=(self.stride, self.stride),
                            kernel_init=_xavier, name='conv3')(x)
@@ -169,7 +200,9 @@ class ResidualConv(nn.Module):
             shortcut = nn.Dropout(rate=self.dropout,
                                   broadcast_dims=(1, 2),  # whole-channel drop (Dropout2d)
                                   deterministic=not train)(shortcut)
-        out = GroupNorm(num_groups=16, epsilon=1e-5, name='norm')(y + shortcut)
+        out = GroupNorm(num_groups=16, epsilon=1e-5,
+                        spatial_axis=self.spatial_axis,
+                        name='norm')(y + shortcut)
         return nn.elu(out)
 
 
@@ -179,13 +212,16 @@ class ResidualBlock(nn.Module):
     num_blocks: int
     stride: int = 1
     dropout: Optional[float] = None
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = ResidualConv(self.out_channels, self.stride, self.dropout,
+                         spatial_axis=self.spatial_axis,
                          name='block0')(x, train)
         for i in range(1, self.num_blocks):
             x = ResidualConv(self.out_channels, 1, self.dropout,
+                             spatial_axis=self.spatial_axis,
                              name=f'block{i}')(x, train)
         return x
 
@@ -194,10 +230,16 @@ class InvDepthHead(nn.Module):
     """3x3 conv -> sigmoid / min_depth; inverse-depth in (0, 1/min_depth)."""
     out_channels: int = 1
     min_depth: float = 0.5
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
+        pad_h = (1, 1)
+        if self.spatial_axis is not None:
+            from mindtheedge_tpu.parallel.spatial import halo_exchange_h
+            x = halo_exchange_h(x, 1, self.spatial_axis)
+            pad_h = (0, 0)
+        x = nn.Conv(self.out_channels, (3, 3), padding=[pad_h, (1, 1)],
                     kernel_init=_xavier, name='conv1')(x)
         return nn.sigmoid(x) / self.min_depth
 
@@ -269,12 +311,21 @@ class _Conv3dParams(nn.Module):
 class Conv3dOverChannels(nn.Module):
     """Parameter holder for the 3D conv used by Pack/Unpack layers."""
     d: int = 8
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
         kernel = self.param('kernel', _xavier, (3, 3, 3, 1, self.d), jnp.float32)
         bias = self.param('bias', nn.initializers.zeros, (self.d,), jnp.float32)
-        y = _conv3d_over_channels(x, kernel.astype(x.dtype))
+        if self.spatial_axis is not None:
+            from mindtheedge_tpu.parallel.spatial import halo_exchange_h
+            k2 = _conv3d_tridiag_kernel(kernel.astype(x.dtype), x.shape[-1])
+            xh = halo_exchange_h(x, 1, self.spatial_axis)
+            y = jax.lax.conv_general_dilated(
+                xh, k2, (1, 1), [(0, 0), (1, 1)],
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        else:
+            y = _conv3d_over_channels(x, kernel.astype(x.dtype))
         return y + jnp.repeat(bias, x.shape[-1]).astype(y.dtype)
 
 
@@ -323,6 +374,7 @@ class _PackConvBlock(nn.Module):
     out_channels: int
     kernel_size: int
     d: int
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, k3, b3):
@@ -341,6 +393,25 @@ class _PackConvBlock(nn.Module):
             return jax.lax.conv_general_dilated(
                 y1, kernel, (1, 1), [(p, p), (p, p)],
                 dimension_numbers=dn) + bias
+
+        if self.spatial_axis is not None:
+            # H-sharded: unfused pipeline with halo exchanges.  ppermute's
+            # zero fill at the mesh edges reproduces both the conv3d zero
+            # pad AND the reference's zero-pad of the *biased* intermediate
+            # (layers01.py:214-248) exactly, so no border strips are needed.
+            from mindtheedge_tpu.parallel.spatial import halo_exchange_h
+            k2 = _conv3d_tridiag_kernel(k3, D)
+            xh = halo_exchange_h(x, 1, self.spatial_axis)
+            y1 = jax.lax.conv_general_dilated(
+                xh, k2, (1, 1), [(0, 0), (1, 1)],
+                dimension_numbers=dn) + jnp.repeat(b3, D)
+            y1h = halo_exchange_h(y1, p, self.spatial_axis)
+            y = jax.lax.conv_general_dilated(
+                y1h, kernel, (1, 1), [(0, 0), (p, p)],
+                dimension_numbers=dn) + bias
+            y = GroupNorm(num_groups=16, epsilon=1e-5,
+                          spatial_axis=self.spatial_axis, name='norm')(y)
+            return nn.elu(y)
 
         if h < 2 * p + 1 or w < 2 * p + 1:
             y = strip_pipe(x)
@@ -386,13 +457,15 @@ class PackLayerConv3d(nn.Module):
     r: int = 2
     d: int = 8
     input_packed: bool = False
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
         if not self.input_packed:
-            x = pack2d(x, self.r)
+            x = pack2d(x, self.r)    # shard-local: r=2 cells never straddle shards
         k3, b3 = _Conv3dParams(self.d, name='conv3d')()
         return _PackConvBlock(self.in_channels, self.kernel_size, self.d,
+                              spatial_axis=self.spatial_axis,
                               name='conv')(x, k3, b3)
 
 
@@ -405,10 +478,13 @@ class UnpackLayerConv3d(nn.Module):
     kernel_size: int
     r: int = 2
     d: int = 8
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
         mid = self.out_channels * self.r ** 2 // self.d
-        x = ConvBlock(mid, self.kernel_size, 1, name='conv')(x)
-        x = Conv3dOverChannels(self.d, name='conv3d')(x)
-        return unpack2d(x, self.r)
+        x = ConvBlock(mid, self.kernel_size, 1,
+                      spatial_axis=self.spatial_axis, name='conv')(x)
+        x = Conv3dOverChannels(self.d, spatial_axis=self.spatial_axis,
+                               name='conv3d')(x)
+        return unpack2d(x, self.r)   # shard-local depth-to-space

@@ -1,0 +1,106 @@
+"""Spatial (H-axis) sharding with halo exchange, on the virtual CPU mesh.
+
+The HBM escape hatch for high-res inference (SURVEY §5: DDAD at ~1216x1936):
+rgb enters H-sharded over a ``Mesh(('space',))``, every conv halo-exchanges
+k//2 rows via ppermute, GroupNorm statistics psum to the exact global
+moments.  These tests pin exactness against the unsharded model with the
+SAME parameters — any halo/boundary/stat error shows up as a numeric diff.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mindtheedge_tpu.parallel import spatial
+
+
+def test_max_space_devices():
+    assert spatial.max_space_devices(384) == 4    # 96,48,24,12,6 all even
+    assert spatial.max_space_devices(1216) == 2   # 608,...,38 even; /4 hits 19
+    assert spatial.max_space_devices(128) == 4
+    assert spatial.max_space_devices(64) == 2
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason='needs 4 virtual devices')
+def test_halo_exchange_matches_pad():
+    """halo_exchange of a sharded tensor == zero-padded global slices."""
+    from jax.sharding import PartitionSpec as P
+    mesh = spatial.make_space_mesh(4)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 32, 8, 4).astype(np.float32))
+
+    for p in (1, 2, 3):
+        def local_view(xs):
+            return spatial.halo_exchange_h(xs, p, 'space')
+
+        halod = jax.jit(jax.shard_map(
+            local_view, mesh=mesh, in_specs=P(None, 'space'),
+            out_specs=P(None, 'space'), check_vma=False))(x)
+        # device i's extended shard == rows [8i-p, 8i+8+p) of the zero-pad
+        xp = np.pad(np.asarray(x), ((0, 0), (p, p), (0, 0), (0, 0)))
+        got = np.asarray(halod).reshape(2, 4, 8 + 2 * p, 8, 4)
+        for i in range(4):
+            np.testing.assert_array_equal(
+                got[:, i], xp[:, i * 8:i * 8 + 8 + 2 * p])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason='needs 4 virtual devices')
+def test_spatial_forward_matches_unsharded():
+    """Full PackNet forward, H-sharded over 4 devices == unsharded, same
+    params (the param tree is attribute-independent by construction)."""
+    from mindtheedge_tpu.models.packnet import PackNetSAN
+
+    mesh = spatial.make_space_mesh(4)
+    rng = np.random.RandomState(1)
+    rgb = jnp.asarray(rng.rand(1, 128, 96, 3).astype(np.float32))
+
+    ref = PackNetSAN(version='1A')
+    shd = PackNetSAN(version='1A', spatial_axis='space')
+    key = jax.random.PRNGKey(0)
+    # init through the unsharded model: spatial_axis only adds collectives
+    # (halo exchange, stat psum), never parameters, so the tree is shared —
+    # which is exactly what lets existing checkpoints run sharded unchanged
+    v = jax.jit(lambda k, r: ref.init(k, r, None, train=False))(key, rgb)
+
+    out_ref = jax.jit(
+        lambda v, r: ref.apply(v, r, None, train=False))(v, rgb)
+
+    fn = spatial.make_spatial_infer(shd, mesh)
+    out_shd = fn(v, spatial.shard_spatial(rgb, mesh))
+
+    for s, (a, b) in enumerate(zip(out_ref['inv_depths'], out_shd)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5,
+            err_msg=f'scale {s}')
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 virtual devices')
+def test_spatial_composes_with_data_parallel():
+    """2-D mesh (data x space): batch and height shard independently."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from mindtheedge_tpu.models.packnet import PackNetSlim01
+
+    devices = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ('data', 'space'))
+    rng = np.random.RandomState(2)
+    rgb = jnp.asarray(rng.rand(2, 128, 96, 3).astype(np.float32))
+
+    ref = PackNetSlim01(version='1A')
+    shd = PackNetSlim01(version='1A', spatial_axis='space')
+    key = jax.random.PRNGKey(0)
+    v = jax.jit(lambda k, r: ref.init(k, r, False))(key, rgb)
+    out_ref = jax.jit(lambda v, r: ref.apply(v, r, False))(v, rgb)
+
+    def fwd(variables, r):
+        return shd.apply(variables, r, False)['inv_depths']
+
+    act = P('data', 'space')
+    fn = jax.jit(jax.shard_map(fwd, mesh=mesh, in_specs=(P(), act),
+                               out_specs=[act] * 4, check_vma=False))
+    rgb_s = jax.device_put(rgb, NamedSharding(mesh, act))
+    out_shd = fn(v, rgb_s)
+    for s, (a, b) in enumerate(zip(out_ref['inv_depths'], out_shd)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5,
+            err_msg=f'scale {s}')
