@@ -176,18 +176,14 @@ class PackNetSAN(nn.Module):
                            spatial_axis=self.spatial_axis)
         San = nn.remat(SparseDepthEncoder, static_argnums=(2,)) \
             if self.remat else SparseDepthEncoder
-        self.mconvs = San(channels=tuple(self.channels[1:]))
+        self.mconvs = San(channels=tuple(self.channels[1:]),
+                          spatial_axis=self.spatial_axis)
         # Learnable per-level fusion scale/shift (PackNetSAN01.py:209-210)
         self.weight = self.param('weight', nn.initializers.ones, (5,), jnp.float32)
         self.bias = self.param('bias', nn.initializers.zeros, (5,), jnp.float32)
 
     def run_network(self, rgb, input_depth=None, train=False):
         x5p, skips = self.encoder(rgb, train)   # positional: remat static arg
-        if input_depth is not None and self.spatial_axis is not None:
-            raise NotImplementedError(
-                'spatial sharding covers the RGB path (the high-res DDAD '
-                'use case runs without lidar input); the SAN branch needs '
-                'halo-aware masked pooling — run it unsharded')
         if input_depth is not None:
             san = self.mconvs(input_depth, train)
             w, b = self.weight, self.bias

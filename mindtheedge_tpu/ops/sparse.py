@@ -19,6 +19,8 @@ carry an explicit activity mask, preserving the sparse semantics exactly:
 Everything stays dense NHWC, so XLA fuses the whole ladder.
 """
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -26,14 +28,51 @@ import flax.linen as nn
 _xavier = nn.initializers.xavier_uniform()
 
 
-def masked_max_pool_3x3_s2(x, mask):
+def masked_max_pool_3x3_s2(x, mask, spatial_axis=None):
     """3x3 stride-2 max-pool over active sites; returns (pooled, new_mask).
 
     ``x``: [B,H,W,C]; ``mask``: [B,H,W,1] in {0,1}.
     Output site (i,j) is active iff any input in its 2x2 stride cell
     {2i,2i+1}x{2j,2j+1} is active; its value is the max over *active* inputs
     in the centered 3x3 window (inactive inputs masked to -inf).
+
+    ``spatial_axis``: H-sharded mode — x and mask are exchanged separately
+    so zero-filled halo rows at the mesh edges carry mask 0 and re-mask to
+    -inf, reproducing the global -inf padding exactly.
     """
+    if spatial_axis is not None:
+        from mindtheedge_tpu.parallel.spatial import halo_exchange_h
+        assert x.shape[1] % 2 == 0, 'spatial pool needs even local height'
+        xh = halo_exchange_h(x, 1, spatial_axis)
+        mh = halo_exchange_h(mask, 1, spatial_axis)
+        neg = jnp.asarray(-jnp.inf, dtype=x.dtype)
+        xp = jnp.pad(jnp.where(mh > 0, xh, neg),
+                     ((0, 0), (0, 0), (1, 1), (0, 0)),
+                     constant_values=-jnp.inf)
+        b, h, w, c = x.shape
+        h_out, w_out = h // 2, (w + 1) // 2
+        pooled = None
+        for di in range(3):
+            for dj in range(3):
+                sl = jax.lax.slice(
+                    xp, (0, di, dj, 0),
+                    (b, di + 2 * (h_out - 1) + 1, dj + 2 * (w_out - 1) + 1, c),
+                    (1, 2, 2, 1))
+                pooled = sl if pooled is None else jnp.maximum(pooled, sl)
+        hard_mask = jax.lax.stop_gradient(mask)
+        mp = jnp.pad(hard_mask, ((0, 0), (0, 0), (0, w_out * 2 - w), (0, 0)))
+        cell = None
+        for di in range(2):
+            for dj in range(2):
+                sl = jax.lax.slice(
+                    mp, (0, di, dj, 0),
+                    (b, di + 2 * (h_out - 1) + 1, dj + 2 * (w_out - 1) + 1, 1),
+                    (1, 2, 2, 1))
+                cell = sl if cell is None else jnp.maximum(cell, sl)
+        new_mask = (cell > 0).astype(x.dtype)
+        pooled = jnp.where(new_mask > 0, pooled, 0.).astype(x.dtype)
+        return pooled, new_mask
+
     b, h, w, c = x.shape
     h_out, w_out = (h + 1) // 2, (w + 1) // 2
     neg = jnp.asarray(-jnp.inf, dtype=x.dtype)
@@ -73,6 +112,7 @@ class MaskedBatchNorm(nn.Module):
     """BatchNorm with statistics over active sites only (sparse BN semantics)."""
     momentum: float = 0.9   # torch BatchNorm default momentum=0.1 -> decay 0.9
     epsilon: float = 1e-5
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, mask, train: bool = False):
@@ -86,10 +126,19 @@ class MaskedBatchNorm(nn.Module):
 
         if train:
             m = mask.astype(jnp.float32)
-            count = jnp.maximum(m.sum(), 1.0)
-            xf = x.astype(jnp.float32) * m
-            mean = xf.sum(axis=(0, 1, 2)) / count
-            var = ((x.astype(jnp.float32) - mean) ** 2 * m).sum(axis=(0, 1, 2)) / count
+            count = m.sum()
+            sum_x = (x.astype(jnp.float32) * m).sum(axis=(0, 1, 2))
+            if self.spatial_axis is not None:
+                # active-site stats are global over (B, H, W): psum the
+                # sharded sums/count (eval mode uses running stats, no comms)
+                count = jax.lax.psum(count, self.spatial_axis)
+                sum_x = jax.lax.psum(sum_x, self.spatial_axis)
+            count = jnp.maximum(count, 1.0)
+            mean = sum_x / count
+            sum_sq = ((x.astype(jnp.float32) - mean) ** 2 * m).sum(axis=(0, 1, 2))
+            if self.spatial_axis is not None:
+                sum_sq = jax.lax.psum(sum_sq, self.spatial_axis)
+            var = sum_sq / count
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
@@ -105,13 +154,22 @@ class SparseConv(nn.Module):
     """Stride-1 coordinate-preserving sparse conv (no bias, like ME convs)."""
     out_channels: int
     kernel_size: int
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, mask):
         p = self.kernel_size // 2
+        xm = x * mask
+        pad_h = (p, p)
+        if self.spatial_axis is not None:
+            # halo of the masked product: zero fill at mesh edges == the
+            # global SAME zero padding of (x * mask)
+            from mindtheedge_tpu.parallel.spatial import halo_exchange_h
+            xm = halo_exchange_h(xm, p, self.spatial_axis)
+            pad_h = (0, 0)
         y = nn.Conv(self.out_channels, (self.kernel_size, self.kernel_size),
-                    padding=[(p, p), (p, p)], use_bias=False,
-                    kernel_init=_xavier, name='conv')(x * mask)
+                    padding=[pad_h, (p, p)], use_bias=False,
+                    kernel_init=_xavier, name='conv')(xm)
         return y * mask
 
 
@@ -123,28 +181,30 @@ class MinkConvBlock(nn.Module):
     """
     out_channels: int
     kernel_size: int
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, mask, train: bool = False):
-        x, mask = masked_max_pool_3x3_s2(x, mask)
+        sp = self.spatial_axis
+        x, mask = masked_max_pool_3x3_s2(x, mask, spatial_axis=sp)
         k, c = self.kernel_size, self.out_channels
 
-        x1 = SparseConv(c, k, name='layer1_0')(x, mask)
+        x1 = SparseConv(c, k, spatial_axis=sp, name='layer1_0')(x, mask)
 
-        x2 = SparseConv(2 * c, k, name='layer2_0')(x, mask)
-        x2 = MaskedBatchNorm(name='layer2_bn0')(x2, mask, train)
+        x2 = SparseConv(2 * c, k, spatial_axis=sp, name='layer2_0')(x, mask)
+        x2 = MaskedBatchNorm(spatial_axis=sp, name='layer2_bn0')(x2, mask, train)
         x2 = nn.relu(x2) * mask
-        x2 = SparseConv(c, k, name='layer2_1')(x2, mask)
+        x2 = SparseConv(c, k, spatial_axis=sp, name='layer2_1')(x2, mask)
 
-        x3 = SparseConv(2 * c, k, name='layer3_0')(x, mask)
-        x3 = MaskedBatchNorm(name='layer3_bn0')(x3, mask, train)
+        x3 = SparseConv(2 * c, k, spatial_axis=sp, name='layer3_0')(x, mask)
+        x3 = MaskedBatchNorm(spatial_axis=sp, name='layer3_bn0')(x3, mask, train)
         x3 = nn.relu(x3) * mask
-        x3 = SparseConv(2 * c, k, name='layer3_1')(x3, mask)
-        x3 = MaskedBatchNorm(name='layer3_bn1')(x3, mask, train)
+        x3 = SparseConv(2 * c, k, spatial_axis=sp, name='layer3_1')(x3, mask)
+        x3 = MaskedBatchNorm(spatial_axis=sp, name='layer3_bn1')(x3, mask, train)
         x3 = nn.relu(x3) * mask
-        x3 = SparseConv(c, k, name='layer3_2')(x3, mask)
+        x3 = SparseConv(c, k, spatial_axis=sp, name='layer3_2')(x3, mask)
 
-        y = MaskedBatchNorm(name='final_bn')(x1 + x2 + x3, mask, train)
+        y = MaskedBatchNorm(spatial_axis=sp, name='final_bn')(x1 + x2 + x3, mask, train)
         y = nn.relu(y) * mask
         return y, mask
 
@@ -157,6 +217,7 @@ class SparseDepthEncoder(nn.Module):
     stateful ``prep``/call-advances protocol becomes an explicit loop.
     """
     channels: tuple = (32, 64, 128, 256, 512)
+    spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, depth, train: bool = False):
@@ -165,6 +226,8 @@ class SparseDepthEncoder(nn.Module):
         kernel_sizes = [5, 5] + [3] * (len(self.channels) - 1)
         outs = []
         for i, c in enumerate(self.channels):
-            x, mask = MinkConvBlock(c, kernel_sizes[i], name=f'mconv{i}')(x, mask, train)
+            x, mask = MinkConvBlock(c, kernel_sizes[i],
+                                    spatial_axis=self.spatial_axis,
+                                    name=f'mconv{i}')(x, mask, train)
             outs.append(x)   # densified: zeros at inactive sites already
         return outs

@@ -104,3 +104,34 @@ def test_spatial_composes_with_data_parallel():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5,
             err_msg=f'scale {s}')
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason='needs 4 virtual devices')
+def test_spatial_san_branch_matches_unsharded():
+    """PackNet-SAN with the lidar branch, H-sharded == unsharded (eval mode:
+    masked pools halo-exchange x and mask separately; BN uses running
+    stats)."""
+    from mindtheedge_tpu.models.packnet import PackNetSAN
+
+    mesh = spatial.make_space_mesh(4)
+    rng = np.random.RandomState(3)
+    rgb = jnp.asarray(rng.rand(1, 128, 96, 3).astype(np.float32))
+    lidar = (rng.rand(1, 128, 96, 1) * 80 *
+             (rng.rand(1, 128, 96, 1) > 0.95)).astype(np.float32)
+    lidar = jnp.asarray(lidar)
+
+    ref = PackNetSAN(version='1A')
+    shd = PackNetSAN(version='1A', spatial_axis='space')
+    key = jax.random.PRNGKey(0)
+    v = jax.jit(lambda k, r, d: ref.init(k, r, d, train=False))(key, rgb, lidar)
+
+    out_ref = jax.jit(
+        lambda v, r, d: ref.apply(v, r, d, train=False))(v, rgb, lidar)
+
+    fn = spatial.make_spatial_infer(shd, mesh, with_depth=True)
+    out_shd = fn(v, spatial.shard_spatial(rgb, mesh),
+                 spatial.shard_spatial(lidar, mesh))
+    for s, (a, b) in enumerate(zip(out_ref['inv_depths'], out_shd)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5,
+            err_msg=f'scale {s}')
