@@ -24,6 +24,11 @@ def parse_args(argv=None):
                         help='Input config (.yaml)')
     parser.add_argument('--batch', type=int, default=4,
                         help='Inference batch size (device batching)')
+    parser.add_argument('--spatial', type=int, default=0,
+                        help='H-shard the network over N devices with halo '
+                             'exchange (0=off, -1=largest legal mesh). For '
+                             'resolutions whose activations overflow one '
+                             "chip's HBM (e.g. DDAD ~1216x1936).")
     return parser.parse_args(argv)
 
 
@@ -179,6 +184,28 @@ def main(argv=None):
                 variables[net]['batch_stats'] = batch_stats[net]
 
     infer = jax.jit(lambda v, b: task.infer(v, b))
+    _shard_batch = lambda b: b
+    if args.spatial:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from mindtheedge_tpu.parallel import spatial as sputil
+        h_img = first_rgb.shape[0]
+        n_sp = (sputil.max_space_devices(h_img, limit=len(jax.devices()))
+                if args.spatial < 0 else args.spatial)
+        if n_sp > 1 and hasattr(task.depth_net, 'spatial_axis'):
+            task.depth_net = task.depth_net.clone(spatial_axis='space')
+            smesh = sputil.make_space_mesh(n_sp)
+            act = P(None, 'space')
+            infer = jax.jit(jax.shard_map(
+                lambda v, b: task.infer(v, b), mesh=smesh,
+                in_specs=(P(), act), out_specs=act, check_vma=False))
+            _shard_batch = lambda b: {
+                k: jax.device_put(v_, NamedSharding(smesh, act))
+                for k, v_ in b.items()}
+            print(f'Spatial sharding: H={h_img} over {n_sp} devices '
+                  '(halo exchange)')
+        elif n_sp > 1:
+            print(f'--spatial ignored: {type(task.depth_net).__name__} '
+                  'has no spatial_axis support')
 
     # ---- batched, pipelined inference loop ----------------------------------
     # Dispatch is asynchronous; host conversion of batch i-LAG overlaps the
@@ -219,7 +246,7 @@ def main(argv=None):
             batch['input_depth'] = jnp.asarray(np.stack(lidars))
         if redges[0] is not None:
             batch['rgb_edge'] = jnp.asarray(np.stack(redges))
-        out = infer(variables, batch)
+        out = infer(variables, _shard_batch(batch))
         depth_dev = inv2depth(out['inv_depths'][0][..., 0])
         in_flight.append((depth_dev, n_items))
         if len(in_flight) > LAG:
