@@ -140,6 +140,11 @@ class BaseTask:
         self.pose_net = None
         if self.needs_pose and config.model.pose_net.name:
             self.pose_net = build_pose_net(config.model.pose_net)
+        # optional hook on the raw depth-net output, applied before any loss
+        # math — the seam where a spatially-sharded step all_gathers the
+        # inverse-depth pyramid so every downstream loss runs bit-identically
+        # on full tensors (parallel/spatial.make_spatial_train_step)
+        self.output_hook = None
 
     # -- init ------------------------------------------------------------------
     def init(self, rng, batch):
@@ -202,6 +207,8 @@ class BaseTask:
             out = self.depth_net.apply(dvars, rgb_in, train=False, **kwargs_in)
             new_stats = None
 
+        if self.output_hook is not None:
+            out = self.output_hook(out)
         # flip outputs back (reference model_utils.flip_output); loss math
         # always runs fp32
         for key in ('inv_depths', 'inv_depths_rgbd'):

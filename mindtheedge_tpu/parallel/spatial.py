@@ -119,3 +119,73 @@ def make_spatial_infer(model, mesh, axis_name='space', with_depth=False):
 def shard_spatial(x, mesh, axis_name='space'):
     """Place [B,H,W,C] with H sharded over the mesh."""
     return jax.device_put(x, NamedSharding(mesh, P(None, axis_name)))
+
+
+def make_spatial_train_step(task, optimizer, mesh, axis_name='space'):
+    """Spatially-sharded training: full-res frames whose activations overflow
+    one chip's HBM train across the mesh, bit-identical to the single-chip
+    step.
+
+    Design (gather-the-pyramid): the depth net — where all the activation
+    memory lives — runs H-sharded with halo exchange; its outputs (the
+    4-scale inverse-depth pyramid + feature-consistency scalar, KBs not GBs)
+    are all_gathered/pmean'd via the task's ``output_hook``, so the ENTIRE
+    loss stack (supervised, class-balanced edge BCE, attention, Sobel
+    GradLoss) runs unmodified on full tensors and every device computes the
+    same loss.  Autodiff splits gradients back through the gather to the
+    local shards; the per-device partial parameter grads are pmean'd
+    (``grad_transform``) before the (replicated) optimizer update.  pmean,
+    not psum: the replicated loss gives every device the SAME cotangent, and
+    the transpose of a tiled ``all_gather`` psum-scatters those n identical
+    cotangents — each device's shard gradient already carries a factor n, so
+    the mean over devices (not the sum) reconstructs the exact full-batch
+    gradient; gradients of replicated compute (pose net, pmean'd aux losses)
+    are likewise already full and survive a mean unchanged.  RNG is
+    identical on every device, so dropout (whole-channel) and the lr-flip
+    draw the same decisions — the step matches the unsharded one to float
+    tolerance (tests/test_spatial_sharding.py).
+
+    Returns ``step(state, batch, rng, progress=0.0)``; net-input batch keys
+    (``task.input_keys``) enter H-sharded, loss targets replicated.
+    """
+    import copy
+    from mindtheedge_tpu.training.train_step import make_train_step
+
+    task = copy.copy(task)
+    assert hasattr(task.depth_net, 'spatial_axis'), \
+        f'{type(task.depth_net).__name__} has no spatial support'
+    task.depth_net = task.depth_net.clone(spatial_axis=axis_name)
+    net_keys = set(task.input_keys)
+
+    def gather_outputs(out):
+        out = dict(out)
+        for k in ('inv_depths', 'inv_depths_rgbd'):
+            if k in out:
+                out[k] = [jax.lax.all_gather(d, axis_name, axis=1, tiled=True)
+                          for d in out[k]]
+        if 'depth_loss' in out:
+            out['depth_loss'] = jax.lax.pmean(out['depth_loss'], axis_name)
+        return out
+
+    task.output_hook = gather_outputs
+    base_step = make_train_step(
+        task, optimizer,
+        grad_transform=lambda g: jax.lax.pmean(g, axis_name))
+
+    _cache = {}
+
+    def step(state, batch, rng, progress=0.0):
+        specs = {k: (P(None, axis_name) if k in net_keys else P())
+                 for k in batch}
+        sig = tuple(sorted(batch))
+        if sig not in _cache:
+            _cache[sig] = jax.jit(jax.shard_map(
+                base_step, mesh=mesh,
+                in_specs=(P(), specs, P(), P()),
+                out_specs=(P(), P()), check_vma=False))
+        batch = {k: jax.device_put(v, NamedSharding(mesh, specs[k]))
+                 for k, v in batch.items()}
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+        return _cache[sig](state, batch, rng, jnp.asarray(progress))
+
+    return step

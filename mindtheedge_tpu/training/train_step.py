@@ -13,8 +13,13 @@ import jax.numpy as jnp
 from mindtheedge_tpu.training.state import TrainState, variables_from_state
 
 
-def make_train_step(task, optimizer):
-    """Build ``train_step(state, batch, rng) -> (new_state, metrics)``."""
+def make_train_step(task, optimizer, grad_transform=None):
+    """Build ``train_step(state, batch, rng) -> (new_state, metrics)``.
+
+    ``grad_transform``: optional pytree->pytree hook applied to the raw
+    grads — the seam where a spatially-sharded step psums per-device
+    partial gradients (``parallel/spatial.make_spatial_train_step``).
+    """
 
     def loss_fn(params, batch_stats, batch, rng, progress):
         variables = variables_from_state(
@@ -29,6 +34,8 @@ def make_train_step(task, optimizer):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (metrics, new_stats)), grads = grad_fn(
             state.params, state.batch_stats, batch, rng, progress)
+        if grad_transform is not None:
+            grads = grad_transform(grads)
         updates, new_opt_state = optimizer.update(
             grads, state.opt_state, state.params)
         import optax

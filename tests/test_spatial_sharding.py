@@ -135,3 +135,90 @@ def test_spatial_san_branch_matches_unsharded():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5,
             err_msg=f'scale {s}')
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason='needs 4 virtual devices')
+def test_spatial_train_step_matches_unsharded():
+    """ONE spatially-sharded SemiSupEdge train step == the single-device
+    step: same loss, same metrics, same updated params (float tolerance).
+
+    Exercises the full gather-the-pyramid path: halo-exchanged encoder +
+    SAN branch (psum'd masked-BN stats), all_gathered inv-depth pyramid,
+    unmodified loss stack, pmean'd gradients, replicated update.
+
+    SGD, not Adam, for the param compare: with SGD the one-step delta is
+    lr * grad, so comparing params IS comparing gradients at rtol.  Adam's
+    first step is ~lr * sign(g): leaves with near-zero gradients (fp32
+    reduction-order noise flips their sign between the two schedules) land
+    at +-lr — a sign test on noise, not an equivalence test.
+    """
+    import optax
+    from mindtheedge_tpu.config import get_cfg_defaults, prepare_config
+    from mindtheedge_tpu.models.tasks import build_task
+    from mindtheedge_tpu.training.train_step import (
+        make_train_step, create_train_state)
+    from mindtheedge_tpu.training.state import split_variables
+
+    cfg = get_cfg_defaults()
+    cfg.model.name = 'SemiSupEdgeModel'
+    cfg.model.depth_net.name = 'PackNetSAN01'
+    cfg.model.depth_net.version = '1A'
+    cfg.model.depth_net.channels = (16, 16, 16, 16, 16, 16)
+    cfg.model.loss.supervised_method = 'sparse-silog'
+    cfg.model.loss.supervised_num_scales = 1
+    cfg.model.loss.supervised_loss_weight = 1.0
+    cfg.model.loss.edges_depth_edge_loss_all_scales = True
+    cfg.model.loss.upsample_depth_maps = False
+    cfg.model.loss.flip_lr_prob = 0.0   # keep the compare deterministic
+    cfg = prepare_config(cfg)
+    task = build_task(cfg)
+
+    B, H, W = 2, 128, 64
+    rng = np.random.RandomState(0)
+    batch = {
+        'rgb': rng.rand(B, H, W, 3).astype(np.float32),
+        'depth': (rng.rand(B, H, W, 1) * 80 *
+                  (rng.rand(B, H, W, 1) > 0.9)).astype(np.float32),
+        'edge': (rng.rand(B, H, W, 1) > 0.95).astype(np.float32),
+        'normal': ((rng.rand(B, H, W, 1) * 2 - 1) * np.pi).astype(np.float32),
+        'input_depth': (rng.rand(B, H, W, 1) * 80 *
+                        (rng.rand(B, H, W, 1) > 0.95)).astype(np.float32),
+    }
+    for s in range(1, 4):
+        hs, ws = H >> s, W >> s
+        batch[f'edge_{s}'] = (rng.rand(B, hs, ws, 1) > 0.95).astype(np.float32)
+        batch[f'normal_{s}'] = ((rng.rand(B, hs, ws, 1) * 2 - 1)
+                                * np.pi).astype(np.float32)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    key = jax.random.PRNGKey(0)
+    variables = jax.jit(task.init)(key, batch)
+    params, _ = split_variables(variables)
+    lr = 0.01
+    optimizer = optax.sgd(lr)
+    state0 = create_train_state(task, optimizer, key, batch,
+                                variables=variables)
+
+    plain = jax.jit(make_train_step(task, optimizer))
+    s_ref, m_ref = plain(state0, batch, key)
+
+    mesh = spatial.make_space_mesh(4)
+    sstep = spatial.make_spatial_train_step(task, optimizer, mesh)
+    state0b = create_train_state(task, optimizer, key, batch,
+                                 variables=variables)
+    s_shd, m_shd = sstep(state0b, batch, key)
+
+    np.testing.assert_allclose(float(m_shd['loss']), float(m_ref['loss']),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m_shd['grad_norm']),
+                               float(m_ref['grad_norm']), rtol=1e-3)
+    # delta = lr * grad leaf-by-leaf; atol bounds the near-zero-grad leaves
+    flat_a, _ = jax.tree_util.tree_flatten_with_path(s_ref.params)
+    flat_b, _ = jax.tree_util.tree_flatten_with_path(s_shd.params)
+    flat_0, _ = jax.tree_util.tree_flatten_with_path(state0.params)
+    for (pa, a), (_, b), (_, p0) in zip(flat_a, flat_b, flat_0):
+        ga = (np.asarray(p0) - np.asarray(a)) / lr
+        gb = (np.asarray(p0) - np.asarray(b)) / lr
+        np.testing.assert_allclose(
+            gb, ga, rtol=1e-3, atol=1e-4,
+            err_msg=jax.tree_util.keystr(pa))
