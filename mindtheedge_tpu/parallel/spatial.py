@@ -94,6 +94,18 @@ def make_space_mesh(n_space, devices=None, axis_name='space'):
     return Mesh(np.asarray(devices[:n_space]), (axis_name,))
 
 
+def make_dp_space_mesh(n_data, n_space, devices=None,
+                       data_axis='data', axis_name='space'):
+    """2-D (data x space) mesh: batch DP over ``data``, H-sharding over
+    ``space``.  Space is the minor (fastest-varying) axis so halo ppermutes
+    ride nearest-neighbour ICI links within each data replica group."""
+    devices = jax.devices() if devices is None else devices
+    n = n_data * n_space
+    assert len(devices) >= n, f'need {n} devices, have {len(devices)}'
+    return Mesh(np.asarray(devices[:n]).reshape(n_data, n_space),
+                (data_axis, axis_name))
+
+
 def make_spatial_infer(model, mesh, axis_name='space', with_depth=False):
     """jit-compiled spatially-sharded forward.
 
@@ -145,6 +157,15 @@ def make_spatial_train_step(task, optimizer, mesh, axis_name='space'):
     draw the same decisions — the step matches the unsharded one to float
     tolerance (tests/test_spatial_sharding.py).
 
+    Composes with batch DP: on a 2-D ``make_dp_space_mesh`` mesh the batch
+    dim additionally shards over ``data`` (net inputs ``P(data, space)``,
+    loss targets ``P(data)``), per-data-replica losses stay local, and the
+    final grad pmean runs over BOTH axes — the space mean reconstructs each
+    replica's full gradient, the data mean is ordinary DP averaging.  The
+    whole-batch lr-flip draw (one bernoulli per step, ``SfmModel.py:58``)
+    uses the same rng on every device, so sharded and unsharded steps flip
+    identically.
+
     Returns ``step(state, batch, rng, progress=0.0)``; net-input batch keys
     (``task.input_keys``) enter H-sharded, loss targets replicated.
     """
@@ -156,6 +177,8 @@ def make_spatial_train_step(task, optimizer, mesh, axis_name='space'):
         f'{type(task.depth_net).__name__} has no spatial support'
     task.depth_net = task.depth_net.clone(spatial_axis=axis_name)
     net_keys = set(task.input_keys)
+    data_axis = next((a for a in mesh.axis_names if a != axis_name), None)
+    grad_axes = (axis_name,) if data_axis is None else (axis_name, data_axis)
 
     def gather_outputs(out):
         out = dict(out)
@@ -168,14 +191,31 @@ def make_spatial_train_step(task, optimizer, mesh, axis_name='space'):
         return out
 
     task.output_hook = gather_outputs
-    base_step = make_train_step(
+    inner_step = make_train_step(
         task, optimizer,
-        grad_transform=lambda g: jax.lax.pmean(g, axis_name))
+        grad_transform=lambda g: jax.lax.pmean(g, grad_axes))
+
+    def base_step(state, batch, rng, progress):
+        new_state, metrics = inner_step(state, batch, rng, progress)
+        if data_axis is not None:
+            # per-replica losses/metrics -> global batch mean (grad_norm is
+            # already of the pmean'd full-batch gradient, identical on all
+            # devices; the mean is a no-op for it).  BN running stats (SAN
+            # masked BN) also differ per data replica: pmean = sync-BN, and
+            # keeps the replicated-output contract honest.
+            metrics = jax.lax.pmean(metrics, data_axis)
+            if new_state.batch_stats:
+                new_state = new_state.replace(
+                    batch_stats=jax.tree_util.tree_map(
+                        lambda x: jax.lax.pmean(x, data_axis),
+                        new_state.batch_stats))
+        return new_state, metrics
 
     _cache = {}
 
     def step(state, batch, rng, progress=0.0):
-        specs = {k: (P(None, axis_name) if k in net_keys else P())
+        specs = {k: (P(data_axis, axis_name) if k in net_keys
+                     else P(data_axis))
                  for k in batch}
         sig = tuple(sorted(batch))
         if sig not in _cache:

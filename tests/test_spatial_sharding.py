@@ -137,10 +137,16 @@ def test_spatial_san_branch_matches_unsharded():
             err_msg=f'scale {s}')
 
 
-@pytest.mark.skipif(len(jax.devices()) < 4, reason='needs 4 virtual devices')
-def test_spatial_train_step_matches_unsharded():
-    """ONE spatially-sharded SemiSupEdge train step == the single-device
-    step: same loss, same metrics, same updated params (float tolerance).
+def _train_step_parity(mesh, n_data=1):
+    """ONE sharded SemiSupEdge train step == the single-device step: same
+    loss, same metrics, same updated params (float tolerance).
+
+    With a data axis (``n_data > 1``) the expected semantics are the
+    reference's Horovod DP (``horovod_trainer.py:53-55``): each replica
+    pools its sparse losses over ITS batch shard, gradients average across
+    replicas — so the oracle is built from per-shard single-device steps,
+    not one full-batch step (pooled losses are not linear in the batch
+    split).
 
     Exercises the full gather-the-pyramid path: halo-exchanged encoder +
     SAN branch (psum'd masked-BN stats), all_gathered inv-depth pyramid,
@@ -200,25 +206,49 @@ def test_spatial_train_step_matches_unsharded():
                                 variables=variables)
 
     plain = jax.jit(make_train_step(task, optimizer))
-    s_ref, m_ref = plain(state0, batch, key)
+    # oracle: grads per leaf + loss, from full-batch (n_data=1) or averaged
+    # per-shard (Horovod-DP semantics) single-device steps
+    ref_grads, ref_losses = [], []
+    shard = B // n_data
+    for i in range(n_data):
+        sub = ({k: v[i * shard:(i + 1) * shard] for k, v in batch.items()}
+               if n_data > 1 else batch)
+        s_i, m_i = plain(state0, sub, key)
+        flat_i, _ = jax.tree_util.tree_flatten_with_path(s_i.params)
+        ref_grads.append(flat_i)
+        ref_losses.append(float(m_i['loss']))
+    ref_loss = float(np.mean(ref_losses))
 
-    mesh = spatial.make_space_mesh(4)
     sstep = spatial.make_spatial_train_step(task, optimizer, mesh)
     state0b = create_train_state(task, optimizer, key, batch,
                                  variables=variables)
     s_shd, m_shd = sstep(state0b, batch, key)
 
-    np.testing.assert_allclose(float(m_shd['loss']), float(m_ref['loss']),
-                               rtol=1e-5)
-    np.testing.assert_allclose(float(m_shd['grad_norm']),
-                               float(m_ref['grad_norm']), rtol=1e-3)
+    np.testing.assert_allclose(float(m_shd['loss']), ref_loss, rtol=1e-5)
     # delta = lr * grad leaf-by-leaf; atol bounds the near-zero-grad leaves
-    flat_a, _ = jax.tree_util.tree_flatten_with_path(s_ref.params)
     flat_b, _ = jax.tree_util.tree_flatten_with_path(s_shd.params)
     flat_0, _ = jax.tree_util.tree_flatten_with_path(state0.params)
-    for (pa, a), (_, b), (_, p0) in zip(flat_a, flat_b, flat_0):
-        ga = (np.asarray(p0) - np.asarray(a)) / lr
+    sq_sum = 0.0
+    for j, ((pa, b), (_, p0)) in enumerate(zip(flat_b, flat_0)):
+        ga = np.mean([(np.asarray(p0) - np.asarray(fg[j][1])) / lr
+                      for fg in ref_grads], axis=0)
         gb = (np.asarray(p0) - np.asarray(b)) / lr
+        sq_sum += float((ga.astype(np.float64) ** 2).sum())
         np.testing.assert_allclose(
             gb, ga, rtol=1e-3, atol=1e-4,
             err_msg=jax.tree_util.keystr(pa))
+    np.testing.assert_allclose(float(m_shd['grad_norm']),
+                               np.sqrt(sq_sum), rtol=1e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason='needs 4 virtual devices')
+def test_spatial_train_step_matches_unsharded():
+    _train_step_parity(spatial.make_space_mesh(4))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason='needs 4 virtual devices')
+def test_dp_space_train_step_matches_unsharded():
+    """DP x spatial composition on a 2x2 mesh: batch sharded over ``data``,
+    H over ``space``; grads pmean over both axes; metrics pmean over data.
+    Oracle = averaged per-shard single-device steps (Horovod-DP semantics)."""
+    _train_step_parity(spatial.make_dp_space_mesh(2, 2), n_data=2)
