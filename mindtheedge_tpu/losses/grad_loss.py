@@ -60,22 +60,20 @@ def grad_layer(x, normal=None):
 def class_balanced_bce(prob, gt_edge, gt_mask=None, pos_to_neg_weight=1.0):
     """Per-sample class-balanced weighted BCE (``grad_loss.py:161-219``).
 
-    prob, gt_edge: [B,H,W,1]; gt_mask: optional binary [B,H,W,1] (loss masked
-    out where 0, normalizer = number of valid pixels).
+    prob, gt_edge: [B,H,W,1]; gt_mask: optional [B,H,W,1].  Reference
+    semantics (``grad_loss.py:181-210``): alpha always uses mask-weighted
+    pos/neg counts, but the loss itself is mask-zeroed and normalized by
+    ``mask.sum()`` ONLY when the mask is exactly binary {0,1} with both
+    values present; any other mask (continuous, all-ones, all-zeros) falls
+    back to unmasked losses normalized by ``numel``.  The check is
+    data-dependent, so it is folded in with ``jnp.where`` (jit-safe).
     """
-    if gt_mask is None:
-        mask = jnp.ones_like(gt_edge)
-        valid_pixels = jnp.asarray(float(np.prod(gt_edge.shape)))
-    else:
-        mask = gt_mask
-        valid_pixels = jnp.sum(mask)
+    numel = jnp.asarray(float(np.prod(gt_edge.shape)))
+    mask = jnp.ones_like(gt_edge) if gt_mask is None else gt_mask
 
     pos_loss = -gt_edge * jnp.log(prob + 0.001)
     neg_mask = 1.0 - gt_edge
     neg_loss = -neg_mask * jnp.log(1.0 - prob + 0.001)
-    if gt_mask is not None:
-        pos_loss = pos_loss * mask
-        neg_loss = neg_loss * mask
 
     axes = (1, 2, 3)
     weights_pos = jnp.sum(gt_edge * mask, axis=axes)
@@ -84,8 +82,18 @@ def class_balanced_bce(prob, gt_edge, gt_mask=None, pos_to_neg_weight=1.0):
                       jnp.ones_like(weights_neg),
                       weights_neg / jnp.maximum(weights_pos + weights_neg, 1e-12))
 
-    per_sample = pos_to_neg_weight * alpha * jnp.sum(pos_loss, axis=axes) + \
-        (1.0 - alpha) * jnp.sum(neg_loss, axis=axes)
+    if gt_mask is None:
+        # reference: gt_mask=ones -> unique has one value -> unmasked/numel
+        pos_eff, neg_eff, valid_pixels = pos_loss, neg_loss, numel
+    else:
+        is_binary = (jnp.all((mask == 0) | (mask == 1))
+                     & jnp.any(mask == 1) & jnp.any(mask == 0))
+        pos_eff = jnp.where(is_binary, pos_loss * mask, pos_loss)
+        neg_eff = jnp.where(is_binary, neg_loss * mask, neg_loss)
+        valid_pixels = jnp.where(is_binary, jnp.sum(mask), numel)
+
+    per_sample = pos_to_neg_weight * alpha * jnp.sum(pos_eff, axis=axes) + \
+        (1.0 - alpha) * jnp.sum(neg_eff, axis=axes)
     return jnp.sum(per_sample) / jnp.maximum(valid_pixels, 1.0)
 
 

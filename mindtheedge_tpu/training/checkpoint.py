@@ -125,7 +125,7 @@ class ModelCheckpoint:
                                 ('acc', 'a1', 'a2', 'a3', 'f1', 'precision',
                                  'recall', 'auc')) else 'min'
         self.mode = mode
-        self.best = []   # list of (metric, path)
+        self.best = []   # list of (metric, path, epoch)
         os.makedirs(self.dirpath or '.', exist_ok=True)
         # copy the run yaml beside the checkpoints (model_checkpoint.py:62-64)
         if yaml_path and os.path.isfile(yaml_path):
@@ -180,19 +180,22 @@ class ModelCheckpoint:
         return path
 
     def check_and_save(self, config, state, metrics):
-        path = self._filename(int(state.epoch), metrics)
+        epoch = int(state.epoch)
+        path = self._filename(epoch, metrics)
         save_checkpoint(path, config, state, metrics)
-        self._s3_sync(path, int(state.epoch))
+        self._s3_sync(path, epoch)
         value = float(metrics.get(self.monitor, np.nan)) if metrics else np.nan
-        self.best.append((value, path))
+        self.best.append((value, path, epoch))
         if self.save_top_k and self.save_top_k > 0 and not np.isnan(value):
             reverse = self.mode == 'max'
             ranked = sorted((b for b in self.best if not np.isnan(b[0])),
                             key=lambda t: t[0], reverse=reverse)
-            for _, stale in ranked[self.save_top_k:]:
-                epoch_match = f'epoch={int(state.epoch):02d}'
-                if os.path.exists(stale) and epoch_match not in stale \
-                        and (int(state.epoch) % max(self.save_freq, 1) != 0):
+            for _, stale, stale_epoch in ranked[self.save_top_k:]:
+                # Retention is keyed on the STALE checkpoint's own epoch
+                # (reference model_checkpoint.py:184-191 deletes epoch i iff
+                # i % save_freq != 0), never the current one.
+                if os.path.exists(stale) and stale != path \
+                        and (stale_epoch % max(self.save_freq, 1) != 0):
                     os.remove(stale)
                     self.best = [b for b in self.best if b[1] != stale]
         return path
