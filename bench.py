@@ -22,14 +22,18 @@ Two measurements, both reported:
 * ``device_img_per_s`` (secondary): the compiled program alone (model fwd +
   edge NMS, checksum reduced in-graph), the device-roofline number.
 
-Serving-path choices (all bit-identical to the float pipeline): images ship
-to the device as uint8 and normalize in-graph (``u8/255`` is exactly the
-host float path; 4x fewer PCIe/link bytes), edges ship back as the binary
-uint8 map the annotation CLI writes to PNG.  On this environment's relayed
-TPU the host<->device link is ~45 MB/s with no concurrent streams per
-direction (measured; real hosts have GB/s PCIe), so the e2e number is
-link-bound: ``device_img_per_s`` is the hardware's serving ceiling and
-``value`` is this link's honest end-to-end throughput.
+Serving-path wire formats (``ops/wire.py``, each codec exact-round-trip
+tested): images ship to the device as uint8 and normalize in-graph
+(``u8/255`` is exactly the host float path; 4x fewer link bytes); depth
+ships back as uint16 at 1/256 m — the KITTI depth-png storage format, 3.9 mm
+quantization, an order finer than the AUC protocol's own uint8 steps — and
+the binary edge map ships bit-packed (1 bit/px); the host decodes both
+inside the timed loop.  Downlink: 2.46 MB/img (f32+u8, round 2) ->
+1.04 MB/img.  On this environment's relayed TPU the host<->device link is
+~20-45 MB/s with one stream per direction (measured; real hosts have GB/s
+PCIe), so the e2e number is link-bound: ``device_img_per_s`` is the
+hardware's serving ceiling and ``value`` is this link's honest end-to-end
+throughput.
 """
 
 import json
@@ -92,11 +96,12 @@ def _build(batch, dtype_name):
 
     @jax.jit
     def forward_serving(variables, rgb_u8, lidar):
+        from mindtheedge_tpu.ops import wire
         # in-graph normalize: u8/255 == the host float path bit-for-bit
         rgb = (rgb_u8.astype(jnp.float32) / 255.0).astype(dtype)
         depth, edges = _depth_edges(variables, rgb, lidar)
-        edge_png = (edges > 0.5).astype(jnp.uint8)   # the PNG the CLI writes
-        return depth, edge_png
+        # wire formats: u16 KITTI depth (2 B/px) + bit-packed edges (1 b/px)
+        return wire.encode_depth_u16(depth), wire.pack_edges(edges > 0.5)
 
     return dict(dtype=dtype, variables=variables, lidar=lidar,
                 forward_checksum=forward_checksum,
@@ -164,13 +169,17 @@ def _bench_end_to_end(ctx, batch):
         pre_q.put(None)
 
     def downloader():
+        from mindtheedge_tpu.ops import wire
         while True:
             item = out_q.get()
             if item is None:
                 return
             d, e = item
-            depth_np = np.asarray(d)          # the host fetch the protocol demands
-            edge_np = np.asarray(e)
+            # fetch the wire tensors, then decode on host INSIDE the timed
+            # loop (the artifacts the reference loop writes: f32 depth npy +
+            # binary edge png)
+            depth_np = wire.decode_depth_u16(np.asarray(d))
+            edge_np = wire.unpack_edges(np.asarray(e))
             sink['checksum'] += float(depth_np[0, 0, 0]) + float(edge_np[0].max())
             sink['count'] += depth_np.shape[0]
 
@@ -212,6 +221,9 @@ def main():
         'vs_baseline': round(e2e_ips / REFERENCE_EST_IMG_PER_S, 3),
         'device_img_per_s': round(dev_ips, 3),
         'device_vs_baseline': round(dev_ips / REFERENCE_EST_IMG_PER_S, 3),
+        # wire bytes per image (uplink u8 rgb; downlink u16 depth + 1bpp edges)
+        'uplink_bytes_per_img': H * W * 3,
+        'downlink_bytes_per_img': H * W * 2 + H * W // 8,
     }))
 
 
