@@ -23,6 +23,11 @@ def get_cfg_defaults():
     cfg.arch.max_epochs = 51
     cfg.arch.validate_first = False
     cfg.arch.precision = 'float32'   # 'bfloat16' = mixed-precision compute
+    # Data-parallel replica count (Horovod per-replica batch semantics:
+    # global batch = datasets.train.batch_size x replicas, reference
+    # default_config.py:176 batch_size is per-GPU). 0 = all local devices;
+    # capped so one global batch fits the dataset.
+    cfg.arch.dp_devices = 0
 
     # CHECKPOINT --------------------------------------------------------------
     cfg.checkpoint = ConfigNode()

@@ -46,6 +46,58 @@ def replicate_state(state, mesh):
     return jax.device_put(state, replicated(mesh))
 
 
+def make_dp_train_step(task, optimizer, mesh, axis_name='data'):
+    """Horovod-semantics data-parallel train step over a 1-D mesh.
+
+    The reference's DP contract is PER-REPLICA batch: Horovod runs N
+    processes each computing the loss over its own ``batch_size`` samples and
+    allreduce-averages gradients (``horovod_trainer.py:53-55``,
+    ``DistributedSampler`` per rank ``model_wrapper.py:761-793``).  Pooled
+    losses (sparse masked means, class-balanced BCE alpha) are NOT linear in
+    the batch split, so a global-batch jit is a different estimator; this
+    step reproduces Horovod exactly: ``shard_map`` over ``data``, each device
+    computes the full loss on its local shard, gradients and metrics are
+    ``pmean``'d, the (replicated) optimizer applies the averaged gradient.
+
+    Divergence (documented, NOTES.md): SAN masked-BN running stats are also
+    pmean'd (sync-BN) where Horovod keeps them per-replica — replicated
+    state must stay replica-identical.
+
+    Returns ``step(state, batch, rng, progress=0.0)``; the global batch
+    (leading dim = n * per_device_batch) enters sharded on ``data``.
+    """
+    from mindtheedge_tpu.training.train_step import make_train_step
+
+    inner = make_train_step(
+        task, optimizer,
+        grad_transform=lambda g: jax.lax.pmean(g, axis_name))
+
+    def base_step(state, batch, rng, progress):
+        new_state, metrics = inner(state, batch, rng, progress)
+        metrics = jax.lax.pmean(metrics, axis_name)
+        if new_state.batch_stats:
+            new_state = new_state.replace(
+                batch_stats=jax.tree_util.tree_map(
+                    lambda x: jax.lax.pmean(x, axis_name),
+                    new_state.batch_stats))
+        return new_state, metrics
+
+    sharded = jax.shard_map(
+        base_step, mesh=mesh,
+        in_specs=(P(), P(axis_name), P(), P()),
+        out_specs=(P(), P()), check_vma=False)
+    jitted = jax.jit(sharded)
+    rep = replicated(mesh)
+
+    def step(state, batch, rng, progress=0.0):
+        batch = shard_batch(batch, mesh, axis_name)
+        state = jax.device_put(state, rep)
+        import jax.numpy as jnp
+        return jitted(state, batch, rng, jnp.asarray(progress))
+
+    return step
+
+
 def make_sharded_train_step(train_step_fn, mesh, axis_name='data'):
     """jit the train step with batch sharded over the mesh, state replicated.
 

@@ -116,6 +116,24 @@ class Experiment:
                 self.test_loader = setup_dataloader(
                     ds, config.datasets.test, 'test', config.arch.seed)
 
+        # Horovod-honest DP sizing (reference horovod_trainer.py:53-55):
+        # datasets.train.batch_size is PER-DEVICE (the reference's per-GPU
+        # meaning, default_config.py:176); the train loader produces the
+        # scaled global batch B x n_dp.  Decided here so steps_per_epoch —
+        # and with it the StepLR epoch counter (training/optimizer.py:17) —
+        # see the scaled batch.
+        self.n_dp = 1
+        self.per_device_batch = None
+        if self.train_loader is not None:
+            per_dev = self.train_loader.batch_size
+            n_dp = config.arch.dp_devices or len(jax.devices())
+            n_dp = min(n_dp, len(jax.devices()),
+                       max(1, len(self.train_loader.dataset) // max(per_dev, 1)))
+            self.n_dp = n_dp
+            self.per_device_batch = per_dev
+            if n_dp > 1:
+                self.train_loader.batch_size = per_dev * n_dp
+
         self.state = None
         self.resume_ckpt = resume_ckpt
         self._jit_infer = None
@@ -224,32 +242,34 @@ class Experiment:
         base_n = self.task.supervised_num_scales
         _step_cache = {}
 
+        # Data-parallel mesh with HOROVOD-HONEST per-replica batch semantics
+        # (sizing decided in __init__): each replica computes the loss on its
+        # own per_device_batch samples, gradients are pmean'd
+        # (parallel/mesh.make_dp_train_step).
+        self.mesh = None
+        if self.n_dp > 1:
+            from mindtheedge_tpu.parallel.mesh import make_mesh, replicated
+            self.mesh = make_mesh(jax.devices()[:self.n_dp])
+            self.state = jax.device_put(self.state, replicated(self.mesh))
+            print(f'Data-parallel over {self.n_dp} devices: global batch '
+                  f'{self.train_loader.batch_size} '
+                  f'({self.per_device_batch}/device)')
+
         def step_for(n_scales):
             # scale-count decay recompiles at most num_scales times total
             if n_scales not in _step_cache:
                 self.task.supervised_num_scales = n_scales
-                _step_cache[n_scales] = jax.jit(
-                    make_train_step(self.task, self.optimizer))
+                if self.mesh is not None:
+                    from mindtheedge_tpu.parallel.mesh import make_dp_train_step
+                    _step_cache[n_scales] = make_dp_train_step(
+                        self.task, self.optimizer, self.mesh)
+                else:
+                    _step_cache[n_scales] = jax.jit(
+                        make_train_step(self.task, self.optimizer))
             return _step_cache[n_scales]
 
         train_step = step_for(base_n)
-        # Data-parallel mesh over all local devices (the TPU-native
-        # replacement for Horovod/DataParallel, SURVEY 2.10): state is
-        # replicated, batches shard on the leading axis, and XLA inserts the
-        # gradient all-reduce inside the compiled step.
-        self.mesh = None
-        import math
-        batch_size = self.train_loader.batch_size
-        n_dp = math.gcd(batch_size, len(jax.devices()))
-        if n_dp > 1:
-            from mindtheedge_tpu.parallel.mesh import (
-                make_mesh, replicated, shard_batch)
-            self.mesh = make_mesh(jax.devices()[:n_dp])
-            self.state = jax.device_put(self.state, replicated(self.mesh))
-            _shard = lambda b: shard_batch(b, self.mesh)
-            print(f'Data-parallel over {n_dp} devices')
-        else:
-            _shard = lambda b: b
+        _shard = lambda b: b   # the DP step shards internally
         ckpt_mgr = ModelCheckpoint(
             filepath=self.config.checkpoint.filepath or 'checkpoints',
             monitor=self.config.checkpoint.monitor,

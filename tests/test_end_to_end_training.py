@@ -11,6 +11,8 @@ import pytest
 
 from tests.make_synthetic_dataset import make_dataset
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope='module')
 def synth_root(tmp_path_factory):
@@ -23,6 +25,9 @@ def _train_config(split, ckpt_dir):
     from mindtheedge_tpu.config import get_cfg_defaults, prepare_config
     cfg = get_cfg_defaults()
     cfg.arch.max_epochs = 2
+    # single-device so the step-count/resume asserts below stay exact;
+    # Horovod-honest DP batch semantics are covered by tests/test_dp_trainer.py
+    cfg.arch.dp_devices = 1
     cfg.model.name = 'SemiSupEdgeModel'
     cfg.model.depth_net.name = 'PackNetSAN01'
     cfg.model.depth_net.version = '1A'
