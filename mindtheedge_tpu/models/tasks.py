@@ -145,6 +145,10 @@ class BaseTask:
         # inverse-depth pyramid so every downstream loss runs bit-identically
         # on full tensors (parallel/spatial.make_spatial_train_step)
         self.output_hook = None
+        # optional transform on the depth-net kwarg dict — the spatial step
+        # uses it to slice space-replicated image inputs (rgb_edge) down to
+        # the local H shard while loss consumers keep the full tensor
+        self.net_input_transform = None
 
     # -- init ------------------------------------------------------------------
     def init(self, rng, batch):
@@ -164,7 +168,10 @@ class BaseTask:
 
     # -- depth forward -----------------------------------------------------------
     def _depth_inputs(self, batch):
-        return {k: batch[k] for k in self.input_keys[1:] if k in batch}
+        kwargs = {k: batch[k] for k in self.input_keys[1:] if k in batch}
+        if self.net_input_transform is not None:
+            kwargs = self.net_input_transform(kwargs)
+        return kwargs
 
     def run_depth(self, variables, batch, train, rng=None, force_flip=False):
         """Depth net with random lr-flip wrapping (``SfmModel.py:58-96``).

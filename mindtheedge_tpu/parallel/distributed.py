@@ -67,15 +67,27 @@ def maybe_initialize_distributed(verbose=True):
     import jax
     kwargs = {}
     if addr is not None:
+        missing = [k for k in ('JAX_NUM_PROCESSES', 'JAX_PROCESS_ID')
+                   if k not in os.environ]
+        if missing:
+            raise RuntimeError(
+                'JAX_COORDINATOR_ADDRESS is set but '
+                f'{" and ".join(missing)} {"is" if len(missing) == 1 else "are"}'
+                ' missing. Explicit multi-host launch needs all three of '
+                'JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES, JAX_PROCESS_ID '
+                '(or unset JAX_COORDINATOR_ADDRESS for auto-config).')
         kwargs = dict(
             coordinator_address=addr,
             num_processes=int(os.environ['JAX_NUM_PROCESSES']),
             process_id=int(os.environ['JAX_PROCESS_ID']))
     try:
         jax.distributed.initialize(**kwargs)
-    except ValueError as e:
+    except (ValueError, RuntimeError) as e:
         # cluster markers present but jax could not self-configure (e.g. a
-        # 1-task Slurm alloc): stay single-process rather than crash the CLI
+        # 1-task Slurm alloc; some jax versions raise RuntimeError): stay
+        # single-process rather than crash the CLI
+        if addr is not None:
+            raise  # explicit launch must not silently degrade
         print(f'Distributed auto-config unavailable ({e}); '
               'running single-process')
         return False

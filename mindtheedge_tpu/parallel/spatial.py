@@ -67,6 +67,15 @@ def halo_exchange_h(x, p, axis_name):
     return jnp.concatenate([top, x, bot], axis=1)
 
 
+def legal_space_sizes(height, n_levels=5, limit=8):
+    """All mesh sizes n for which H-sharding ``height`` keeps every pack
+    level shard-local: H % n == 0 and the local height survives ``n_levels``
+    stride-2 halvings staying even (i.e. H/n divisible by 2**n_levels)."""
+    div = 2 ** n_levels
+    return [n for n in range(1, limit + 1)
+            if height % n == 0 and (height // n) % div == 0]
+
+
 def max_space_devices(height, n_levels=5, limit=8):
     """Largest mesh size that keeps every pack level shard-local: the local
     height at each of the ``n_levels`` stride-2 levels must stay even."""
@@ -175,10 +184,36 @@ def make_spatial_train_step(task, optimizer, mesh, axis_name='space'):
     task = copy.copy(task)
     assert hasattr(task.depth_net, 'spatial_axis'), \
         f'{type(task.depth_net).__name__} has no spatial support'
+    if task.supervised_loss_weight < 1.0 and task.pose_net is not None:
+        raise NotImplementedError(
+            'Spatial training supports pure-supervised tasks only '
+            f'(supervised_loss_weight={task.supervised_loss_weight} < 1 would '
+            'run the pose net / photometric loss on H-sharded rgb with '
+            'replicated context frames). Set '
+            'model.loss.supervised_loss_weight: 1.0 or train unsharded.')
     task.depth_net = task.depth_net.clone(spatial_axis=axis_name)
-    net_keys = set(task.input_keys)
+    # Only 4-D image inputs consumed EXCLUSIVELY by the depth net enter
+    # H-sharded.  rgb_edge is also reused by the edge loss as seg_mask
+    # against the all_gathered full-H pyramid, and intrinsics is [B,3,3]:
+    # both stay space-replicated; rgb_edge is sliced to the local shard at
+    # the net boundary below (ADVICE r2, spatial.py:217).
+    shard_keys = {'rgb', 'input_depth'}
     data_axis = next((a for a in mesh.axis_names if a != axis_name), None)
     grad_axes = (axis_name,) if data_axis is None else (axis_name, data_axis)
+
+    def slice_local_h(kwargs):
+        out = {}
+        for k, v in kwargs.items():
+            if k not in shard_keys and hasattr(v, 'ndim') and v.ndim == 4:
+                n = axis_size(axis_name)
+                h_local = v.shape[1] // n
+                out[k] = jax.lax.dynamic_slice_in_dim(
+                    v, jax.lax.axis_index(axis_name) * h_local, h_local, 1)
+            else:
+                out[k] = v
+        return out
+
+    task.net_input_transform = slice_local_h
 
     def gather_outputs(out):
         out = dict(out)
@@ -214,7 +249,7 @@ def make_spatial_train_step(task, optimizer, mesh, axis_name='space'):
     _cache = {}
 
     def step(state, batch, rng, progress=0.0):
-        specs = {k: (P(data_axis, axis_name) if k in net_keys
+        specs = {k: (P(data_axis, axis_name) if k in shard_keys
                      else P(data_axis))
                  for k in batch}
         sig = tuple(sorted(batch))

@@ -14,6 +14,8 @@ import pytest
 
 from mindtheedge_tpu.parallel import spatial
 
+pytestmark = pytest.mark.slow
+
 
 def test_max_space_devices():
     assert spatial.max_space_devices(384) == 4    # 96,48,24,12,6 all even
