@@ -150,6 +150,43 @@ class MaskedBatchNorm(nn.Module):
         return (y * mask).astype(x.dtype)
 
 
+class _SparseConvKernel(nn.Module):
+    """Parameter holder matching SparseConv's tree ({conv: {kernel}})."""
+    out_channels: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, in_channels):
+        k = self.kernel_size
+        holder = _KernelOnly(self.out_channels, k, name='conv')
+        return holder(in_channels)
+
+
+class _KernelOnly(nn.Module):
+    out_channels: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, in_channels):
+        k = self.kernel_size
+        return self.param('kernel', _xavier,
+                          (k, k, in_channels, self.out_channels), jnp.float32)
+
+
+def _sparse_conv_apply(xm, kernel, mask, p, spatial_axis=None):
+    """conv(x * mask) * mask with SAME zero padding (halo-exchanged in H
+    under spatial sharding)."""
+    pad_h = (p, p)
+    if spatial_axis is not None:
+        from mindtheedge_tpu.parallel.spatial import halo_exchange_h
+        xm = halo_exchange_h(xm, p, spatial_axis)
+        pad_h = (0, 0)
+    y = jax.lax.conv_general_dilated(
+        xm, kernel.astype(xm.dtype), (1, 1), [pad_h, (p, p)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    return y * mask
+
+
 class SparseConv(nn.Module):
     """Stride-1 coordinate-preserving sparse conv (no bias, like ME convs)."""
     out_channels: int
@@ -159,18 +196,9 @@ class SparseConv(nn.Module):
     @nn.compact
     def __call__(self, x, mask):
         p = self.kernel_size // 2
-        xm = x * mask
-        pad_h = (p, p)
-        if self.spatial_axis is not None:
-            # halo of the masked product: zero fill at mesh edges == the
-            # global SAME zero padding of (x * mask)
-            from mindtheedge_tpu.parallel.spatial import halo_exchange_h
-            xm = halo_exchange_h(xm, p, self.spatial_axis)
-            pad_h = (0, 0)
-        y = nn.Conv(self.out_channels, (self.kernel_size, self.kernel_size),
-                    padding=[pad_h, (p, p)], use_bias=False,
-                    kernel_init=_xavier, name='conv')(xm)
-        return y * mask
+        kernel = _KernelOnly(self.out_channels, self.kernel_size,
+                             name='conv')(x.shape[-1])
+        return _sparse_conv_apply(x * mask, kernel, mask, p, self.spatial_axis)
 
 
 class MinkConvBlock(nn.Module):
@@ -178,6 +206,14 @@ class MinkConvBlock(nn.Module):
 
     3x3/2 max-pool, then three parallel sparse-conv stacks (1/2/3 convs)
     summed, then masked BN + ReLU.
+
+    TPU fusion (bit-exact, same parameter tree): the three first-stage convs
+    (``layer1_0``, ``layer2_0``, ``layer3_0``) all read the same masked
+    input — their kernels are concatenated on the output-channel dim and run
+    as ONE conv (one HBM pass of x instead of three, and 5c output lanes
+    instead of c/2c on the narrow early levels).  Per-output-channel
+    reduction order is unchanged, so the split results equal the separate
+    convs exactly.
     """
     out_channels: int
     kernel_size: int
@@ -188,15 +224,22 @@ class MinkConvBlock(nn.Module):
         sp = self.spatial_axis
         x, mask = masked_max_pool_3x3_s2(x, mask, spatial_axis=sp)
         k, c = self.kernel_size, self.out_channels
+        p = k // 2
+        cin = x.shape[-1]
 
-        x1 = SparseConv(c, k, spatial_axis=sp, name='layer1_0')(x, mask)
+        k1 = _SparseConvKernel(c, k, name='layer1_0')(cin)
+        k2 = _SparseConvKernel(2 * c, k, name='layer2_0')(cin)
+        k3 = _SparseConvKernel(2 * c, k, name='layer3_0')(cin)
+        fused = _sparse_conv_apply(
+            x * mask, jnp.concatenate([k1, k2, k3], axis=-1), mask, p, sp)
+        x1 = fused[..., :c]
+        x2 = fused[..., c:3 * c]
+        x3 = fused[..., 3 * c:]
 
-        x2 = SparseConv(2 * c, k, spatial_axis=sp, name='layer2_0')(x, mask)
         x2 = MaskedBatchNorm(spatial_axis=sp, name='layer2_bn0')(x2, mask, train)
         x2 = nn.relu(x2) * mask
         x2 = SparseConv(c, k, spatial_axis=sp, name='layer2_1')(x2, mask)
 
-        x3 = SparseConv(2 * c, k, spatial_axis=sp, name='layer3_0')(x, mask)
         x3 = MaskedBatchNorm(spatial_axis=sp, name='layer3_bn0')(x3, mask, train)
         x3 = nn.relu(x3) * mask
         x3 = SparseConv(2 * c, k, spatial_axis=sp, name='layer3_1')(x3, mask)
