@@ -12,6 +12,8 @@ import numpy as np
 import jax
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason='needs 4 virtual devices')
 def test_infer_cli_spatial_matches_unsharded(tmp_path):
@@ -55,7 +57,11 @@ def test_infer_cli_spatial_matches_unsharded(tmp_path):
         cfg['save']['folder'] = str(tmp_path / f'out_{mode}')
         run_cfg = tmp_path / f'cfg_{mode}.yaml'
         run_cfg.write_text(yaml.safe_dump(cfg))
-        main(['--config', str(run_cfg), '--batch', '1', '--spatial', flag])
+        # --wire f32: this test pins spatial-vs-plain MATH parity; the u16
+        # wire rounds to 1/256 m and a last-ulp float diff at a rounding
+        # boundary flips a full step, swamping the rtol compare
+        main(['--config', str(run_cfg), '--batch', '1', '--spatial', flag,
+              '--wire', 'f32'])
         outs[mode] = sorted((tmp_path / f'out_{mode}').glob('*_regular.npy'))
         assert len(outs[mode]) == n
 

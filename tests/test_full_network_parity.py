@@ -17,8 +17,9 @@ import numpy as np
 import pytest
 
 REFERENCE = '/root/reference'
-pytestmark = pytest.mark.skipif(not os.path.isdir(REFERENCE),
-                                reason='reference repo not mounted')
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                                 reason='reference repo not mounted')]
 
 
 @pytest.fixture(scope='module')

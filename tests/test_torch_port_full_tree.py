@@ -16,6 +16,8 @@ import pytest
 from mindtheedge_tpu.models.packnet import PackNetSAN
 from mindtheedge_tpu.utils import torch_port
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope='module')
 def jax_params():
