@@ -34,21 +34,24 @@ def masked_max_pool_3x3_s2(x, mask, spatial_axis=None):
     ``x``: [B,H,W,C]; ``mask``: [B,H,W,1] in {0,1}.
     Output site (i,j) is active iff any input in its 2x2 stride cell
     {2i,2i+1}x{2j,2j+1} is active; its value is the max over *active* inputs
-    in the centered 3x3 window (inactive inputs masked to -inf).
+    in the centered 3x3 window (inactive inputs masked to the finite float
+    minimum — acts as -inf for the max, but stays NaN-safe under any
+    multiply-by-zero the compiler may introduce; active values are >= 0
+    everywhere this pool is used, so the result is identical).
 
     ``spatial_axis``: H-sharded mode — x and mask are exchanged separately
     so zero-filled halo rows at the mesh edges carry mask 0 and re-mask to
-    -inf, reproducing the global -inf padding exactly.
+    the minimum, reproducing the global padding exactly.
     """
     if spatial_axis is not None:
         from mindtheedge_tpu.parallel.spatial import halo_exchange_h
         assert x.shape[1] % 2 == 0, 'spatial pool needs even local height'
         xh = halo_exchange_h(x, 1, spatial_axis)
         mh = halo_exchange_h(mask, 1, spatial_axis)
-        neg = jnp.asarray(-jnp.inf, dtype=x.dtype)
+        neg = jnp.asarray(jnp.finfo(jnp.float32).min, dtype=x.dtype)
         xp = jnp.pad(jnp.where(mh > 0, xh, neg),
                      ((0, 0), (0, 0), (1, 1), (0, 0)),
-                     constant_values=-jnp.inf)
+                     constant_values=float(jnp.finfo(jnp.float32).min))
         b, h, w, c = x.shape
         h_out, w_out = h // 2, (w + 1) // 2
         pooled = None
@@ -71,17 +74,19 @@ def masked_max_pool_3x3_s2(x, mask, spatial_axis=None):
                 cell = sl if cell is None else jnp.maximum(cell, sl)
         new_mask = (cell > 0).astype(x.dtype)
         pooled = jnp.where(new_mask > 0, pooled, 0.).astype(x.dtype)
+        # same fusion barrier as the unsharded branch below (see comment there)
+        pooled, new_mask = jax.lax.optimization_barrier((pooled, new_mask))
         return pooled, new_mask
 
     b, h, w, c = x.shape
     h_out, w_out = (h + 1) // 2, (w + 1) // 2
-    neg = jnp.asarray(-jnp.inf, dtype=x.dtype)
+    neg = jnp.asarray(jnp.finfo(jnp.float32).min, dtype=x.dtype)
     x_masked = jnp.where(mask > 0, x, neg)
     # Differentiable 3x3/2 max-pool as a chain of 9 shifted-slice maxima
     # (reduce_window max has no reverse-mode rule on this backend; an
     # elementwise-max chain fuses in XLA and differentiates exactly).
     xp = jnp.pad(x_masked, ((0, 0), (1, 1), (1, 1), (0, 0)),
-                 constant_values=-jnp.inf)
+                 constant_values=float(jnp.finfo(jnp.float32).min))
     pooled = None
     for di in range(3):
         for dj in range(3):
@@ -105,6 +110,12 @@ def masked_max_pool_3x3_s2(x, mask, spatial_axis=None):
             cell = sl if cell is None else jnp.maximum(cell, sl)
     new_mask = (cell > 0).astype(x.dtype)
     pooled = jnp.where(new_mask > 0, pooled, 0.).astype(x.dtype)
+    # XLA:TPU miscompiles the fusion of this strided-slice max chain into a
+    # downstream wide conv at batch>=4 full-res shapes (NaN at ~10% of sites;
+    # every stage is finite when materialized).  The barrier forces the pooled
+    # tensor to materialize, which both dodges the bad fusion and costs
+    # nothing: the conv re-reads it from HBM either way.
+    pooled, new_mask = jax.lax.optimization_barrier((pooled, new_mask))
     return pooled, new_mask
 
 

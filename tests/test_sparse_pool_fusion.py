@@ -1,0 +1,75 @@
+"""Regression: the SAN ladder must stay finite when whole-program compiled.
+
+XLA:TPU miscompiled the fusion of the masked max-pool's strided-slice max
+chain into the (wide, fused) downstream sparse conv at batch >= 4 full-res
+shapes: every individually-materialized stage was finite, but the fused
+two-level program produced NaN at ~10% of active sites (deterministic, both
+bf16 and f32).  ``masked_max_pool_3x3_s2`` now (a) masks inactive sites to
+the finite float minimum instead of -inf (NaN-safe under any
+multiply-by-zero a rewrite may introduce; identical results for the >= 0
+activations this pool ever sees), and (b) emits an optimization_barrier so
+the pooled tensor materializes instead of fusing into the consumer conv.
+
+The CPU backend never miscompiled this, so the small CPU test here pins the
+barrier + finite-min semantics; the full-scale case is covered on real TPU
+by bench.py's in-loop finiteness assert (bench.py:124).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from mindtheedge_tpu.ops.sparse import MinkConvBlock, masked_max_pool_3x3_s2
+
+
+def test_pool_masks_with_finite_min_not_inf():
+    """Pooled output contains no non-finite values even before the where()
+    zeroing would hide them (guards the -inf -> finfo.min change)."""
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 16, 20, 4).astype(np.float32)) * 80.0
+    mask = jnp.asarray((rng.rand(2, 16, 20, 1) > 0.97).astype(np.float32))
+    pooled, new_mask = jax.jit(masked_max_pool_3x3_s2)(x * mask, mask)
+    assert np.isfinite(np.asarray(pooled)).all()
+    # active outputs still take the max over active inputs only
+    xm = np.asarray(x * mask)[0, :, :, 0]
+    m = np.asarray(mask)[0, :, :, 0]
+    p = np.asarray(pooled)[0, :, :, 0]
+    nm = np.asarray(new_mask)[0, :, :, 0]
+    for i in range(p.shape[0]):
+        for j in range(p.shape[1]):
+            cell = m[2 * i:2 * i + 2, 2 * j:2 * j + 2]
+            if cell.max() == 0:
+                assert p[i, j] == 0.0
+                assert nm[i, j] == 0.0
+            else:
+                win_v = xm[max(0, 2 * i - 1):2 * i + 2,
+                           max(0, 2 * j - 1):2 * j + 2]
+                win_m = m[max(0, 2 * i - 1):2 * i + 2,
+                          max(0, 2 * j - 1):2 * j + 2]
+                assert nm[i, j] == 1.0
+                np.testing.assert_allclose(p[i, j], win_v[win_m > 0].max(),
+                                           rtol=1e-6)
+
+
+def test_two_level_ladder_finite_whole_program():
+    """Two MinkConvBlocks compiled as ONE program stay finite (the TPU
+    miscompile shape scaled down; on CPU this pins the barrier path)."""
+
+    class TwoLevel(nn.Module):
+        @nn.compact
+        def __call__(self, depth, train=False):
+            mask = (depth > 0).astype(depth.dtype)
+            x0, m0 = MinkConvBlock(32, 5, name='mconv0')(depth, mask, train)
+            x1, m1 = MinkConvBlock(64, 5, name='mconv1')(x0, m0, train)
+            return x1
+
+    rng = np.random.RandomState(0)
+    depth = rng.rand(4, 96, 160, 1).astype(np.float32) * 80.0
+    depth[rng.rand(4, 96, 160, 1) < 0.95] = 0.0
+    depth = jnp.asarray(depth)
+    mod = TwoLevel()
+    v = jax.jit(lambda k, d: mod.init(k, d, False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 64, 1)))
+    x1 = jax.jit(lambda v_, d: mod.apply(v_, d, False))(v, depth)
+    assert np.isfinite(np.asarray(x1)).all()
