@@ -28,6 +28,36 @@ import flax.linen as nn
 _xavier = nn.initializers.xavier_uniform()
 
 
+def _phase_pool_nonneg(x, mask):
+    """[B,H,W,1] masked 3x3/2 max-pool via H/W phase splits (plain elementwise
+    maxima on [B,H/2,W]-shaped tensors — full lane utilization).
+
+    Requires the non-negativity invariant documented at the call site in
+    ``masked_max_pool_3x3_s2``; verified identical to the slice-chain path
+    (values, masks, and gradients) by ``tests/test_sparse_pool_fusion.py``.
+    """
+    b, h, w, _ = x.shape
+    xm = (x * mask)[..., 0]                              # [B,H,W], >= 0
+    xr = xm.reshape(b, h // 2, 2, w)
+    E, O = xr[:, :, 0], xr[:, :, 1]                      # rows 2i / 2i+1
+    Oup = jnp.pad(O, ((0, 0), (1, 0), (0, 0)))[:, :-1]   # row 2i-1
+    R = jnp.maximum(jnp.maximum(E, O), Oup)              # [B,H/2,W]
+    Rr = R.reshape(b, h // 2, w // 2, 2)
+    RE, RO = Rr[..., 0], Rr[..., 1]                      # cols 2j / 2j+1
+    ROl = jnp.pad(RO, ((0, 0), (0, 0), (1, 0)))[:, :, :-1]  # col 2j-1
+    pooled = jnp.maximum(jnp.maximum(RE, RO), ROl)       # [B,H/2,W/2]
+    hard_mask = jax.lax.stop_gradient(mask)
+    mr = hard_mask[..., 0].reshape(b, h // 2, 2, w)
+    cm = jnp.maximum(mr[:, :, 0], mr[:, :, 1])
+    cmr = cm.reshape(b, h // 2, w // 2, 2)
+    new_mask = (jnp.maximum(cmr[..., 0], cmr[..., 1]) > 0).astype(x.dtype)
+    pooled = (pooled * new_mask).astype(x.dtype)
+    # same fusion barrier as the slice-chain paths (see comment below)
+    pooled, new_mask = jax.lax.optimization_barrier(
+        (pooled[..., None], new_mask[..., None]))
+    return pooled, new_mask
+
+
 def masked_max_pool_3x3_s2(x, mask, spatial_axis=None):
     """3x3 stride-2 max-pool over active sites; returns (pooled, new_mask).
 
@@ -80,6 +110,15 @@ def masked_max_pool_3x3_s2(x, mask, spatial_axis=None):
 
     b, h, w, c = x.shape
     h_out, w_out = (h + 1) // 2, (w + 1) // 2
+    if c == 1 and h % 2 == 0 and w % 2 == 0:
+        # Lane-friendly path for the full-res C=1 input-depth pool: C=1 puts
+        # one value in a 128-wide lane vector, so the 13-op strided-slice
+        # chain below runs at ~1% lane efficiency (measured 1.8 ms at
+        # [8,384,1280,1] bf16 vs 0.09 ms for this formulation).  Because
+        # active values are >= 0 with inactive sites exactly 0 at every call
+        # site (level 0: depth > 0; deeper: relu(.)*mask), the masked max
+        # equals a plain max of x*mask followed by cell-mask zeroing.
+        return _phase_pool_nonneg(x, mask)
     neg = jnp.asarray(jnp.finfo(jnp.float32).min, dtype=x.dtype)
     x_masked = jnp.where(mask > 0, x, neg)
     # Differentiable 3x3/2 max-pool as a chain of 9 shifted-slice maxima

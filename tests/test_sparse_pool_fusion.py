@@ -52,6 +52,35 @@ def test_pool_masks_with_finite_min_not_inf():
                                            rtol=1e-6)
 
 
+def test_phase_pool_matches_slice_chain_values_and_grads():
+    """The C=1 lane-friendly phase pool (``_phase_pool_nonneg``) must equal
+    the strided-slice chain exactly — values and gradients (20x faster on
+    TPU at [8,384,1280,1]: 0.09 ms vs 1.8 ms, tools/probe_pool.py)."""
+    rng = np.random.RandomState(1)
+    d = rng.rand(2, 32, 48, 1).astype(np.float32) * 80.0
+    d[rng.rand(2, 32, 48, 1) < 0.9] = 0.0
+    x = jnp.asarray(d)
+    mask = (x > 0).astype(x.dtype)
+
+    def pool_c1(x1):          # dispatches to the phase path (C=1, even H/W)
+        p, m = masked_max_pool_3x3_s2(x1, (x1 > 0).astype(x1.dtype))
+        return p, m
+
+    def pool_chain(x1):       # force the chain path via a duplicated channel
+        x2 = jnp.concatenate([x1, x1], axis=-1)
+        p, m = masked_max_pool_3x3_s2(x2, (x1 > 0).astype(x1.dtype))
+        return p[..., :1], m
+
+    p1, m1 = jax.jit(pool_c1)(x)
+    p2, m2 = jax.jit(pool_chain)(x)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+    g1 = jax.jit(jax.grad(lambda x_: pool_c1(x_)[0].sum()))(x)
+    g2 = jax.jit(jax.grad(lambda x_: pool_chain(x_)[0].sum()))(x)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+
+
 def test_two_level_ladder_finite_whole_program():
     """Two MinkConvBlocks compiled as ONE program stay finite (the TPU
     miscompile shape scaled down; on CPU this pins the barrier path)."""
