@@ -93,8 +93,11 @@ class PackNetDecoder(nn.Module):
         NI, N1, N2, N3, N4, N5 = self.channels
         sp = self.spatial_axis
         skip1, skip2, skip3, skip4, skip5 = skips
-        cat = (lambda a, b: jnp.concatenate([a, b], axis=-1)) if self.version == 'A' \
-            else (lambda a, b: a + b)
+        # version A concatenates skips; the iconv ConvBlocks take the parts as
+        # a LIST and run kernel-sliced convs summed — same math, no
+        # materialized concat (ops/blocks.py ConvBlock docstring).
+        cat = (lambda a, b: [a, b]) if self.version == 'A' \
+            else (lambda a, b: [a + b])
 
         unpack5 = UnpackLayerConv3d(N5, UNPACK_KERNEL[0], d=NUM_3D_FEAT,
                                     spatial_axis=sp, name='unpack5')(x5p)
@@ -112,8 +115,7 @@ class PackNetDecoder(nn.Module):
         unpack3 = UnpackLayerConv3d(N3, UNPACK_KERNEL[2], d=NUM_3D_FEAT,
                                     spatial_axis=sp, name='unpack3')(iconv4)
         iconv3 = ConvBlock(N3, ICONV_KERNEL[2], 1, spatial_axis=sp,
-                           name='iconv3')(
-            jnp.concatenate([cat(unpack3, skip3), up4], axis=-1))
+                           name='iconv3')(cat(unpack3, skip3) + [up4])
         inv_depth3 = InvDepthHead(self.out_channels, spatial_axis=sp,
                                   name='disp3_layer')(iconv3)
         up3 = upsample_nearest2x(inv_depth3)
@@ -121,8 +123,7 @@ class PackNetDecoder(nn.Module):
         unpack2 = UnpackLayerConv3d(N2, UNPACK_KERNEL[3], d=NUM_3D_FEAT,
                                     spatial_axis=sp, name='unpack2')(iconv3)
         iconv2 = ConvBlock(N2, ICONV_KERNEL[3], 1, spatial_axis=sp,
-                           name='iconv2')(
-            jnp.concatenate([cat(unpack2, skip2), up3], axis=-1))
+                           name='iconv2')(cat(unpack2, skip2) + [up3])
         inv_depth2 = InvDepthHead(self.out_channels, spatial_axis=sp,
                                   name='disp2_layer')(iconv2)
         up2 = upsample_nearest2x(inv_depth2)
@@ -130,8 +131,7 @@ class PackNetDecoder(nn.Module):
         unpack1 = UnpackLayerConv3d(N1, UNPACK_KERNEL[4], d=NUM_3D_FEAT,
                                     spatial_axis=sp, name='unpack1')(iconv2)
         iconv1 = ConvBlock(N1, ICONV_KERNEL[4], 1, spatial_axis=sp,
-                           name='iconv1')(
-            jnp.concatenate([cat(unpack1, skip1), up2], axis=-1))
+                           name='iconv1')(cat(unpack1, skip1) + [up2])
         inv_depth1 = InvDepthHead(self.out_channels, spatial_axis=sp,
                                   name='disp1_layer')(iconv1)
 

@@ -108,6 +108,14 @@ class ConvBlock(nn.Module):
     conv with a phase-expanded kernel (``ops/phase_conv.py``) — exact same
     math, 4x MXU output-lane utilization for narrow full-res layers.  The
     parameter tree is identical either way.
+
+    The input may be a LIST of tensors, meaning ``conv(concat(parts, -1))``:
+    the conv then runs as per-part convs with input-channel kernel slices,
+    summed — the same math without ever materializing the concatenation
+    (measured 2.5x faster at decoder scales: a full-res concat+conv costs
+    20.0 ms vs 8.0 ms split, tools/probe_gn_traffic.py).  Only the reduction
+    order over input channels changes (fp32 accumulator regrouped at part
+    boundaries).  Parameter tree is identical to the concat form.
     """
     out_channels: int
     kernel_size: int
@@ -118,10 +126,20 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        parts = list(x) if isinstance(x, (list, tuple)) else None
+        cin = sum(t.shape[-1] for t in parts) if parts else x.shape[-1]
         p = self.kernel_size // 2
         kernel, bias = _ConvParams(self.out_channels, self.kernel_size,
-                                   name='conv')(x.shape[-1])
-        x, kernel, bias = promote_dtype(x, kernel, bias, dtype=None)
+                                   name='conv')(cin)
+        if parts is not None:
+            pr = promote_dtype(*parts, kernel, bias, dtype=None)
+            parts, kernel, bias = list(pr[:-2]), pr[-2], pr[-1]
+            if self.spatial_axis is None and not self.phase_pack \
+                    and self.stride == 1 and len(parts) > 1:
+                return self._split_conv(parts, kernel, bias, p)
+            x = parts[0] if len(parts) == 1 else jnp.concatenate(parts, -1)
+        else:
+            x, kernel, bias = promote_dtype(x, kernel, bias, dtype=None)
         if self.spatial_axis is not None:
             # H-sharded: halo-exchange p rows, VALID in H (W stays SAME);
             # lane packing is W-only so it composes with the sharding
@@ -172,6 +190,27 @@ class ConvBlock(nn.Module):
         if rw > 1:
             x = unpack_w(x, rw)
         return x
+
+    def _split_conv(self, parts, kernel, bias, p):
+        """conv(concat(parts)) as summed kernel-sliced convs (no concat)."""
+        rw = _lane_pack_width(self.out_channels, parts[0].shape[2]) \
+            if self.auto_lane_pack else 1
+        y = None
+        off = 0
+        for t in parts:
+            ks = kernel[:, :, off:off + t.shape[-1], :]
+            off += t.shape[-1]
+            if rw > 1:
+                ks = expand_kernel_phase(ks, 1, rw)
+            yi = jax.lax.conv_general_dilated(
+                t, ks, (1, rw), [(p, p), (p, p)],
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+            y = yi if y is None else y + yi
+        y = y + (jnp.repeat(bias, rw) if rw > 1 else bias)
+        y = GroupNorm(num_groups=16, epsilon=1e-5, channel_repeat=rw,
+                      name='norm')(y)
+        y = nn.elu(y)
+        return unpack_w(y, rw) if rw > 1 else y
 
 
 class ResidualConv(nn.Module):

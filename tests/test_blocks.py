@@ -97,3 +97,30 @@ def test_phase_packed_encoder_matches_reference_path():
         # float reassociation accumulates through 5 pack levels: ~1e-5 abs
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_split_input_convblock_matches_concat():
+    """ConvBlock on a LIST of parts (kernel-sliced convs summed, no concat)
+    must match ConvBlock on the concatenated tensor — both the lane-packed
+    (out<128) and plain (out>=128) paths, with an identical parameter tree."""
+    rng = np.random.RandomState(3)
+    a = jnp.asarray(rng.randn(2, 16, 24, 32).astype(np.float32))
+    b = jnp.asarray(rng.randn(2, 16, 24, 16).astype(np.float32))
+    c = jnp.asarray(rng.randn(2, 16, 24, 1).astype(np.float32))
+    xcat = jnp.concatenate([a, b, c], axis=-1)
+
+    for out in (32, 128):
+        mod = ConvBlock(out, 3, 1)
+        params = mod.init(jax.random.PRNGKey(0), xcat)
+        p2 = mod.init(jax.random.PRNGKey(0), [a, b, c])
+        assert jax.tree_util.tree_structure(params) == \
+            jax.tree_util.tree_structure(p2)
+        y_cat = np.asarray(mod.apply(params, xcat))
+        y_split = np.asarray(mod.apply(params, [a, b, c]))
+        np.testing.assert_allclose(y_split, y_cat, rtol=2e-5, atol=2e-5)
+
+    # single-element list degrades to the plain path
+    mod = ConvBlock(32, 3, 1)
+    params = mod.init(jax.random.PRNGKey(0), a)
+    np.testing.assert_array_equal(
+        np.asarray(mod.apply(params, [a])), np.asarray(mod.apply(params, a)))
