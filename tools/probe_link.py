@@ -6,6 +6,17 @@ measures the honest ceiling for the exact transfer sizes bench.py uses
 bit-packed edges) — each direction alone, then both concurrently — so the
 overlap efficiency of the 3-stage pipeline can be judged against hardware
 rather than guesses.  Run: ``python tools/probe_link.py``.
+
+Measurement hygiene (round-4 advisor fixes):
+* every download phase (warm / timed / duplex) uses its OWN freshly-built
+  device arrays — ``jax.Array`` caches the host copy (``_npy_value``) after
+  the first ``np.asarray``, so re-downloading the same array transfers zero
+  bytes and would make the phase a no-op;
+* uplink timing cannot trust ``block_until_ready`` (a no-op on this relay):
+  each timed upload loop ends with a jitted reduction over one element of
+  every uploaded array whose scalar is fetched — the fetch cannot complete
+  until the uploads have, so the timer bounds real transfer completion
+  (one ~35 ms relay round-trip amortized over the N uploads).
 """
 
 import os
@@ -32,51 +43,59 @@ def main():
     host_batches = [rng.randint(0, 255, (B, H, W, 3), dtype=np.uint8)
                     for _ in range(N)]
 
-    # device-resident tensors to download (distinct contents, pre-built)
+    # device-resident tensors to download: a fresh, distinct set per phase
+    # (warm / timed downlink / duplex) so no phase hits another's _npy_value
+    # host-copy cache and every np.asarray below is a real transfer
     mk_d = jax.jit(lambda s: (jnp.full((B, H, W, 1), s, jnp.uint16),
-                              jnp.full((B, H, W // 8), s, jnp.uint8)))
-    dev_batches = [jax.block_until_ready(mk_d(i)) for i in range(N)]
+                              jnp.full((B, H, W // 8), s, jnp.uint8)),
+                   static_argnums=0)
+
+    def fresh_dev_batches(phase):
+        return [jax.block_until_ready(mk_d(phase * N + i)) for i in range(N)]
+
+    # one uploaded element per array, summed: the scalar fetch is the sync
+    sync_sum = jax.jit(lambda xs: sum(x[0, 0, 0, 0].astype(jnp.int32)
+                                      for x in xs))
 
     def up_once(i):
-        x = jnp.asarray(host_batches[i])
-        x.block_until_ready()
-        return x
+        return jnp.asarray(host_batches[i])
 
-    def down_once(i):
-        d, e = dev_batches[i]
-        return np.asarray(d), np.asarray(e)
+    def up_loop():
+        ups = [up_once(i) for i in range(N)]
+        s = int(sync_sum(ups))          # forces completion of all N uploads
+        assert s >= 0
 
-    # warm both paths
-    up_once(0); down_once(0)
+    def down_loop(batches):
+        for d, e in batches:
+            np.asarray(d), np.asarray(e)
+
+    # warm both paths on throwaway arrays not reused by any timed phase
+    warm = fresh_dev_batches(0)
+    up_loop()
+    down_loop(warm[:1])
+    del warm
 
     t0 = time.perf_counter()
-    for i in range(N):
-        up_once(i)
+    up_loop()
     t_up = time.perf_counter() - t0
 
+    down_batches = fresh_dev_batches(1)
     t0 = time.perf_counter()
-    for i in range(N):
-        down_once(i)
+    down_loop(down_batches)
     t_down = time.perf_counter() - t0
+    del down_batches
 
-    # duplex: one upload thread + one download thread
-    def up_loop():
-        for i in range(N):
-            up_once(i)
-
-    def down_loop():
-        for i in range(N):
-            down_once(i)
-
+    # duplex: one upload thread + one download thread, fresh download set
+    duplex_batches = fresh_dev_batches(2)
     t0 = time.perf_counter()
-    th = threading.Thread(target=down_loop)
+    th = threading.Thread(target=down_loop, args=(duplex_batches,))
     th.start()
     up_loop()
     th.join()
     t_duplex = time.perf_counter() - t0
 
     print(f'uplink  : {N} x {up_mb:5.1f} MB in {t_up:6.2f}s '
-          f'= {N * up_mb / t_up:6.1f} MB/s')
+          f'= {N * up_mb / t_up:6.1f} MB/s (incl. one sync round-trip)')
     print(f'downlink: {N} x {down_mb:5.1f} MB in {t_down:6.2f}s '
           f'= {N * down_mb / t_down:6.1f} MB/s')
     print(f'duplex  : both concurrently in {t_duplex:6.2f}s '
