@@ -126,6 +126,13 @@ class ModelCheckpoint:
                                  'recall', 'auc')) else 'min'
         self.mode = mode
         self.best = []   # list of (metric, path, epoch)
+        # Multi-host: only process 0 writes (the reference is single-process;
+        # this repo's multi-host entry would otherwise have every host racing
+        # os.replace on the same path).  Replicated state makes the rank-0
+        # checkpoint identical to what any other rank would have written.
+        self.is_writer = jax.process_index() == 0
+        if not self.is_writer:
+            return
         os.makedirs(self.dirpath or '.', exist_ok=True)
         # copy the run yaml beside the checkpoints (model_checkpoint.py:62-64)
         if yaml_path and os.path.isfile(yaml_path):
@@ -180,6 +187,8 @@ class ModelCheckpoint:
         return path
 
     def check_and_save(self, config, state, metrics):
+        if not self.is_writer:
+            return None
         epoch = int(state.epoch)
         path = self._filename(epoch, metrics)
         save_checkpoint(path, config, state, metrics)

@@ -17,6 +17,13 @@ class WandbLogger:
         self._metrics = {}
         self._jsonl = None
         self._wandb = None
+        # Multi-host: only process 0 opens a run / writes metrics (the
+        # reference's @on_rank_0 on its logger calls, utils/horovod.py:38-44);
+        # other ranks keep a fully-silent logger object.
+        import jax
+        self.is_writer = jax.process_index() == 0
+        if not self.is_writer:
+            return
         if not dry_run:
             try:
                 import wandb
@@ -46,6 +53,8 @@ class WandbLogger:
     def log_metrics(self, metrics, global_step=None):
         """Buffer metrics; flush when a global_step arrives
         (reference ``wandb_logger.py:126-131``)."""
+        if not self.is_writer:
+            return
         self._metrics.update({k: float(v) for k, v in metrics.items()})
         if global_step is not None:
             self._metrics['global_step'] = int(global_step)
