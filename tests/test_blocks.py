@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import torch
@@ -81,6 +82,7 @@ def test_phase_packed_convblock_exact():
                                    rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_phase_packed_encoder_matches_reference_path():
     """Full encoder with phase_packed_stem on == off (same params)."""
     from mindtheedge_tpu.models.packnet import PackNetSlimEncoder

@@ -8,6 +8,7 @@ import pytest
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 virtual devices')
+@pytest.mark.slow
 def test_dryrun_multichip_full_train_step():
     import sys
     sys.path.insert(0, '/root/repo')

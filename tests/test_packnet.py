@@ -15,6 +15,7 @@ def small_inputs():
     return rgb, jnp.asarray(depth)
 
 
+@pytest.mark.slow
 def test_forward_eval_rgb_only(small_inputs):
     rgb, _ = small_inputs
     model = PackNetSAN()
@@ -28,6 +29,7 @@ def test_forward_eval_rgb_only(small_inputs):
     assert (d0 > 0).all() and (d0 <= 2.0).all()   # sigmoid / 0.5
 
 
+@pytest.mark.slow
 def test_forward_train_rgbd(small_inputs):
     rgb, depth = small_inputs
     model = PackNetSAN()
@@ -40,6 +42,7 @@ def test_forward_train_rgbd(small_inputs):
     assert 'batch_stats' in new_vars
 
 
+@pytest.mark.slow
 def test_forward_eval_with_lidar(small_inputs):
     rgb, depth = small_inputs
     model = PackNetSAN()

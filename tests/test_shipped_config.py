@@ -13,6 +13,7 @@ from mindtheedge_tpu.training.train_step import make_train_step, create_train_st
 from mindtheedge_tpu.training.state import split_variables
 
 
+@pytest.mark.slow
 def test_paper_config_train_step_with_remat_and_dropout():
     cfg = get_cfg_defaults()
     cfg.merge_from_file('/root/repo/configs/train_packnet_san_kitti_with_edges.yaml')

@@ -2,6 +2,7 @@
 three separate convs, and the parameter tree is unchanged (checkpoints load)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -43,6 +44,7 @@ def test_minkconv_param_tree_unchanged():
         assert kern.shape == (3, 3, cin, cout), (name, kern.shape)
 
 
+@pytest.mark.slow
 def test_san_ladder_forward_shapes_and_masking():
     """Densified outputs stay zero at inactive sites (sparse semantics)."""
     rng = np.random.RandomState(1)

@@ -48,6 +48,7 @@ def semisup_edge_config():
     return prepare_config(cfg)
 
 
+@pytest.mark.slow
 def test_semisup_edge_train_step_runs_and_updates():
     cfg = semisup_edge_config()
     task = build_task(cfg)
@@ -80,6 +81,7 @@ def _opt_for(cfg, task, key, batch):
     return build_optimizer(cfg, params, steps_per_epoch=10)
 
 
+@pytest.mark.slow
 def test_edge_estimation_task_train_step():
     cfg = get_cfg_defaults()
     cfg.model.name = 'EdgeEstimationLIDARModel'
