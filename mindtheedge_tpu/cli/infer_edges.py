@@ -24,11 +24,13 @@ def parse_args(argv=None):
                         help='Input config (.yaml)')
     parser.add_argument('--batch', type=int, default=4,
                         help='Inference batch size (device batching)')
-    parser.add_argument('--spatial', type=int, default=0,
-                        help='H-shard the network over N devices with halo '
-                             'exchange (0=off, -1=largest legal mesh). For '
+    parser.add_argument('--spatial', type=str, default='0',
+                        help='Spatially shard the network with halo exchange: '
+                             'N = H-shard over N devices, NxM = 2-D HxW grid '
+                             '(e.g. 2x2), 0=off, -1=largest legal H mesh. For '
                              'resolutions whose activations overflow one '
-                             "chip's HBM (e.g. DDAD ~1216x1936).")
+                             "chip's HBM (e.g. DDAD ~1216x1936, where H alone "
+                             'caps at 2 shards but HxW grids unlock 4+).')
     parser.add_argument('--dp', type=int, default=-1,
                         help='Shard the inference batch over N devices (data '
                              'parallel; the TPU-native form of the '
@@ -208,22 +210,36 @@ def main(argv=None):
     from mindtheedge_tpu.parallel import spatial as sputil
     n_dev = len(jax.devices())
 
-    n_sp = 1
-    if args.spatial:
-        h_img = first_rgb.shape[0]
-        legal = sputil.legal_space_sizes(h_img, limit=n_dev)
-        n_sp = (sputil.max_space_devices(h_img, limit=n_dev)
-                if args.spatial < 0 else args.spatial)
-        if args.spatial > 0 and n_sp not in legal:
-            raise SystemExit(
-                f'--spatial {n_sp} is illegal for image height {h_img}: the '
-                'per-shard height must divide H and stay even through 5 pack '
-                f'levels. Legal mesh sizes for H={h_img} with '
-                f'{n_dev} devices: {legal}.')
-        if n_sp > 1 and not hasattr(task.depth_net, 'spatial_axis'):
+    n_sp_h, n_sp_w = 1, 1
+    sp_arg = (args.spatial or '0').strip().lower()
+    if sp_arg not in ('0', '1', '1x1'):
+        h_img, w_img = first_rgb.shape[0], first_rgb.shape[1]
+        if 'x' in sp_arg:          # 2-D HxW grid, e.g. --spatial 2x2
+            n_sp_h, n_sp_w = (int(t) for t in sp_arg.split('x'))
+            grids = sputil.legal_space_grids(h_img, w_img, limit=n_dev)
+            if (n_sp_h, n_sp_w) not in grids:
+                raise SystemExit(
+                    f'--spatial {n_sp_h}x{n_sp_w} is illegal for '
+                    f'{h_img}x{w_img}: each per-shard extent must divide its '
+                    'dim and stay even through 5 pack levels. Legal grids '
+                    f'with {n_dev} devices: {sorted(grids)}.')
+        else:
+            legal = sputil.legal_space_sizes(h_img, limit=n_dev)
+            n_sp_h = (sputil.max_space_devices(h_img, limit=n_dev)
+                      if int(sp_arg) < 0 else int(sp_arg))
+            if int(sp_arg) > 0 and n_sp_h not in legal:
+                raise SystemExit(
+                    f'--spatial {n_sp_h} is illegal for image height '
+                    f'{h_img}: the per-shard height must divide H and stay '
+                    f'even through 5 pack levels. Legal mesh sizes for '
+                    f'H={h_img} with {n_dev} devices: {legal} '
+                    f'(2-D grids: --spatial NxM).')
+        if (n_sp_h > 1 or n_sp_w > 1) \
+                and not hasattr(task.depth_net, 'spatial_axis'):
             print(f'--spatial ignored: {type(task.depth_net).__name__} '
                   'has no spatial_axis support')
-            n_sp = 1
+            n_sp_h = n_sp_w = 1
+    n_sp = n_sp_h * n_sp_w
 
     if args.dp < 0:
         avail = n_dev // n_sp
@@ -239,26 +255,32 @@ def main(argv=None):
 
     _shard_batch = lambda b: b
     if n_sp > 1:
-        task.depth_net = task.depth_net.clone(spatial_axis='space')
+        h_ax = 'space' if n_sp_h > 1 else None
+        w_ax = 'space_w' if n_sp_w > 1 else None
+        task.depth_net = task.depth_net.clone(
+            spatial_axis=(h_ax, w_ax) if w_ax is not None else h_ax)
 
         def spatial_serve(v, b):
             depth = inv2depth(task.infer(v, b)['inv_depths'][0][..., 0])
             return wire.encode_depth_u16(depth) if use_u16 else depth
 
-        if n_dp > 1:   # 2-D (data x space) mesh
-            mesh = sputil.make_dp_space_mesh(n_dp, n_sp)
-            act = P('data', 'space')
-        else:
-            mesh = sputil.make_space_mesh(n_sp)
-            act = P(None, 'space')
+        # mesh axes: data (if DP) x space (if H-sharded) x space_w (if W)
+        import numpy as _np
+        dims = [(n, name) for n, name in
+                ((n_dp, 'data'), (n_sp_h, 'space'), (n_sp_w, 'space_w'))
+                if n > 1]
+        from jax.sharding import Mesh
+        mesh = Mesh(_np.asarray(jax.devices()[:n_dp * n_sp]).reshape(
+            [n for n, _ in dims]), tuple(name for _, name in dims))
+        act = P('data' if n_dp > 1 else None, h_ax, w_ax)
         infer = jax.jit(jax.shard_map(
             spatial_serve, mesh=mesh,
             in_specs=(P(), act), out_specs=act, check_vma=False))
         _shard_batch = lambda b: {
             k: jax.device_put(v_, NamedSharding(mesh, act))
             for k, v_ in b.items()}
-        print(f'Mesh: {n_dp} x {n_sp} (data x space), H={first_rgb.shape[0]} '
-              'halo-exchanged')
+        print(f'Mesh: {n_dp} x {n_sp_h} x {n_sp_w} (data x space x space_w), '
+              f'{first_rgb.shape[0]}x{first_rgb.shape[1]} halo-exchanged')
     elif n_dp > 1:
         # pure batch-DP serving: per-sample programs are independent, so a
         # jit over the batch-sharded input is SPMD with no collectives and
@@ -292,7 +314,7 @@ def main(argv=None):
     # 3.9 mm-quantized otherwise, so the sparse wire rides the --wire u16
     # opt-in; --wire f32 ships dense f32 (fully lossless).
     sparse_cap = None
-    if use_u16 and not args.spatial and image_shape:
+    if use_u16 and n_sp == 1 and image_shape:
         sparse_cap = (image_shape[0] * image_shape[1]) // 8
 
     def drain(entry):
@@ -311,11 +333,12 @@ def main(argv=None):
         rgbs, lidars, redges = [], [], []
         for ln in chunk:
             r, l, e = _read_inputs(ln, cfg, image_shape)
-            if args.spatial and r.shape[0] != first_rgb.shape[0]:
+            if n_sp > 1 and r.shape[:2] != first_rgb.shape[:2]:
                 raise SystemExit(
-                    f'--spatial needs a uniform image height: split line '
-                    f'{ln.split(" ")[0]!r} has H={r.shape[0]} but the mesh '
-                    f'was sized for H={first_rgb.shape[0]}. Set '
+                    f'--spatial needs a uniform image shape: split line '
+                    f'{ln.split(" ")[0]!r} has {r.shape[0]}x{r.shape[1]} but '
+                    f'the mesh was sized for '
+                    f'{first_rgb.shape[0]}x{first_rgb.shape[1]}. Set '
                     'datasets.augmentation.image_shape to resize uniformly.')
             rgbs.append(r)
             lidars.append(l)

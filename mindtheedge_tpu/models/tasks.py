@@ -149,6 +149,10 @@ class BaseTask:
         # uses it to slice space-replicated image inputs (rgb_edge) down to
         # the local H shard while loss consumers keep the full tensor
         self.net_input_transform = None
+        # optional transform on the pose-net inputs — the spatial step
+        # all_gathers the H-sharded rgb so the (tiny) pose net runs
+        # replicated on the full frame (parallel/spatial.py)
+        self.pose_input_transform = None
 
     # -- init ------------------------------------------------------------------
     def init(self, rng, batch):
@@ -232,8 +236,10 @@ class BaseTask:
 
     def run_pose(self, variables, batch):
         """Pose net -> list of [B,4,4] transforms (``SfmModel.py:98-102``)."""
-        pose_vec = self.pose_net.apply(variables['pose'], batch['rgb'],
-                                       batch['rgb_context'])
+        rgb, ctx = batch['rgb'], batch['rgb_context']
+        if self.pose_input_transform is not None:
+            rgb, ctx = self.pose_input_transform(rgb, ctx)
+        pose_vec = self.pose_net.apply(variables['pose'], rgb, ctx)
         return [pose_vec2mat(pose_vec[:, i], self.rotation_mode)
                 for i in range(pose_vec.shape[1])]
 

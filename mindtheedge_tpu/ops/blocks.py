@@ -23,7 +23,8 @@ from flax.linen.dtypes import promote_dtype
 
 from mindtheedge_tpu.ops.packing import pack2d, unpack2d
 from mindtheedge_tpu.ops.phase_conv import (
-    expand_kernel_phase, expand_kernel_phase2, unpack_w)
+    expand_kernel_phase, expand_kernel_phase2, expand_kernel_packed_w,
+    packed_w_conv_geometry, unpack_w)
 
 _xavier = nn.initializers.xavier_uniform()
 
@@ -70,10 +71,12 @@ class GroupNorm(nn.Module):
         mean_c = jnp.mean(xf, axis=(1, 2))               # [B,C]
         mean2_c = jnp.mean(jnp.square(xf), axis=(1, 2))  # [B,C]
         if self.spatial_axis is not None:
-            # H-sharded input: shards are equal-height, so the mean of the
-            # per-shard means IS the exact global (H, W) moment
-            mean_c = jax.lax.pmean(mean_c, self.spatial_axis)
-            mean2_c = jax.lax.pmean(mean2_c, self.spatial_axis)
+            # spatially sharded input: shards are equal-size, so the mean of
+            # the per-shard means IS the exact global (H, W) moment
+            from mindtheedge_tpu.parallel.spatial import spec_axes
+            axes = spec_axes(self.spatial_axis)
+            mean_c = jax.lax.pmean(mean_c, axes)
+            mean2_c = jax.lax.pmean(mean2_c, axes)
         mean_g = mean_c.reshape(b, g, gs).mean(-1)       # [B,G]
         mean2_g = mean2_c.reshape(b, g, gs).mean(-1)
         var_g = jnp.maximum(mean2_g - jnp.square(mean_g), 0.0)
@@ -122,12 +125,17 @@ class ConvBlock(nn.Module):
     stride: int = 1
     phase_pack: bool = False       # emit pack2d(conv(x)) (output stays packed)
     auto_lane_pack: bool = True    # W-phase-pack narrow convs internally
+    packed_input_w: int = 0        # input arrives W-phase-packed (this factor)
+    keep_packed_w: int = 0         # emit W-packed output (skip the unpack)
     spatial_axis: Optional[str] = None   # H-sharded mode (parallel/spatial.py)
 
     @nn.compact
     def __call__(self, x):
         parts = list(x) if isinstance(x, (list, tuple)) else None
         cin = sum(t.shape[-1] for t in parts) if parts else x.shape[-1]
+        if self.packed_input_w:
+            assert parts is None, 'packed input must be a single tensor'
+            cin //= self.packed_input_w   # params live per ORIGINAL channel
         p = self.kernel_size // 2
         kernel, bias = _ConvParams(self.out_channels, self.kernel_size,
                                    name='conv')(cin)
@@ -141,19 +149,25 @@ class ConvBlock(nn.Module):
         else:
             x, kernel, bias = promote_dtype(x, kernel, bias, dtype=None)
         if self.spatial_axis is not None:
-            # H-sharded: halo-exchange p rows, VALID in H (W stays SAME);
-            # lane packing is W-only so it composes with the sharding
+            # Sharded dims halo-exchange p slices and run VALID; unsharded
+            # dims keep SAME padding.  Lane packing is W-phase-based, so it
+            # only composes with H-only sharding (W-sharded convs would need
+            # phase-aligned halos) — disabled under a W axis.
             assert not self.phase_pack and self.stride == 1, \
                 'spatial sharding supports the plain stride-1 conv path'
-            from mindtheedge_tpu.parallel.spatial import halo_exchange_h
+            from mindtheedge_tpu.parallel.spatial import (
+                halo_exchange_h, spec_hw)
+            h_ax, w_ax = spec_hw(self.spatial_axis)
             x = halo_exchange_h(x, p, self.spatial_axis)
+            pad_h = (0, 0) if h_ax is not None else (p, p)
+            pad_w = (0, 0) if w_ax is not None else (p, p)
             rw = _lane_pack_width(self.out_channels, x.shape[2]) \
-                if self.auto_lane_pack else 1
+                if (self.auto_lane_pack and w_ax is None) else 1
             if rw > 1:
                 kernel = expand_kernel_phase(kernel, 1, rw)
                 bias = jnp.repeat(bias, rw)
             y = jax.lax.conv_general_dilated(
-                x, kernel, (1, rw), [(0, 0), (p, p)],
+                x, kernel, (1, rw), [pad_h, pad_w],
                 dimension_numbers=('NHWC', 'HWIO', 'NHWC')) + bias
             y = GroupNorm(num_groups=16, epsilon=1e-5, channel_repeat=rw,
                           spatial_axis=self.spatial_axis, name='norm')(y)
@@ -163,31 +177,51 @@ class ConvBlock(nn.Module):
         # output channel (lane) dim is r*co instead of co, then unpack after
         # the (phase-invariant) GroupNorm+ELU.  Exact same math; the MXU runs
         # narrow-out convs (co=32) at ~1-5% lane efficiency otherwise.
-        rw = 1
-        if (self.auto_lane_pack and not self.phase_pack and self.stride == 1
-                and self.out_channels < 128 and self.out_channels % 16 == 0):
-            rw = min(4, 128 // self.out_channels)
-            while rw > 1 and x.shape[2] % rw != 0:
-                rw //= 2
-        if self.phase_pack:
-            assert self.stride == 1, 'phase_pack requires stride 1'
-            kernel = expand_kernel_phase2(kernel)
-            bias = jnp.repeat(bias, 4)
-            strides = (2, 2)
-        elif rw > 1:
-            kernel = expand_kernel_phase(kernel, 1, rw)
-            bias = jnp.repeat(bias, rw)
-            strides = (1, rw)
+        # ``packed_input_w``/``keep_packed_w`` extend this to CHAINS: the
+        # packed-domain kernel (ops/phase_conv.expand_kernel_packed_w)
+        # consumes an already-packed input and the unpack is skipped when the
+        # consumer wants the packed layout — conv-GN-conv chains then never
+        # relayout (ResidualConv, the SAN ladder).
+        rin, rkeep = self.packed_input_w, self.keep_packed_w
+        pads = [(p, p), (p, p)]
+        if rin:
+            assert self.stride == 1 and not self.phase_pack
+            assert rkeep in (0, rin), 'packed in/out factors must match'
+            kernel = expand_kernel_packed_w(kernel, rin)
+            bias = jnp.repeat(bias, rin)
+            t0, kt = packed_w_conv_geometry(self.kernel_size, rin)
+            pads = [(p, p), (-t0, kt - 1 + t0)]
+            strides = (1, 1)
+            rw = rin
         else:
-            strides = (self.stride, self.stride)
+            rw = rkeep
+            if not rw and (self.auto_lane_pack and not self.phase_pack
+                           and self.stride == 1 and self.out_channels < 128
+                           and self.out_channels % 16 == 0):
+                rw = min(4, 128 // self.out_channels)
+                while rw > 1 and x.shape[2] % rw != 0:
+                    rw //= 2
+                rw = 0 if rw == 1 else rw
+            if self.phase_pack:
+                assert self.stride == 1, 'phase_pack requires stride 1'
+                kernel = expand_kernel_phase2(kernel)
+                bias = jnp.repeat(bias, 4)
+                strides = (2, 2)
+            elif rw:
+                assert self.stride == 1
+                kernel = expand_kernel_phase(kernel, 1, rw)
+                bias = jnp.repeat(bias, rw)
+                strides = (1, rw)
+            else:
+                strides = (self.stride, self.stride)
         x = jax.lax.conv_general_dilated(
-            x, kernel, strides, [(p, p), (p, p)],
+            x, kernel, strides, pads,
             dimension_numbers=('NHWC', 'HWIO', 'NHWC')) + bias
-        repeat = 4 if self.phase_pack else rw
+        repeat = 4 if self.phase_pack else (rw or 1)
         x = GroupNorm(num_groups=16, epsilon=1e-5, channel_repeat=repeat,
                       name='norm')(x)
         x = nn.elu(x)
-        if rw > 1:
+        if rw and not rkeep:
             x = unpack_w(x, rw)
         return x
 
@@ -222,12 +256,50 @@ class ResidualConv(nn.Module):
     out_channels: int
     stride: int = 1
     dropout: Optional[float] = None
+    auto_lane_pack: bool = True
     spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.spatial_axis is not None:
             assert self.stride == 1, 'spatial sharding: stride-1 blocks only'
+        rw = 0
+        if (self.auto_lane_pack and self.spatial_axis is None
+                and self.stride == 1
+                and not isinstance(x, (list, tuple))):
+            rw = _lane_pack_width(self.out_channels, x.shape[2])
+            rw = 0 if rw == 1 else rw
+        if rw:
+            # Packed-domain block: conv1 emits W-packed, conv2 consumes and
+            # emits packed, the 1x1 shortcut emits packed, and the sum + GN +
+            # ELU run packed with ONE unpack at the block end.  Exact same
+            # math and parameter tree; cuts the per-ConvBlock pack/unpack
+            # round-trips that made this block ~4 GB of HBM traffic vs the
+            # ~1.1 GB minimum (tools/probe_overhead.py).
+            C = self.out_channels
+            y = ConvBlock(C, 3, 1, keep_packed_w=rw, name='conv1')(x)
+            y = ConvBlock(C, 3, 1, packed_input_w=rw, keep_packed_w=rw,
+                          name='conv2')(y)
+            k1, b1 = _ConvParams(C, 1, name='conv3')(x.shape[-1])
+            xs, k1, b1 = promote_dtype(x, k1, b1, dtype=None)
+            shortcut = jax.lax.conv_general_dilated(
+                xs, expand_kernel_phase(k1, 1, rw), (1, rw),
+                [(0, 0), (0, 0)],
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC')) \
+                + jnp.repeat(b1, rw)
+            if self.dropout:
+                # Dropout2d with one draw per ORIGINAL channel: run the real
+                # nn.Dropout submodule on a [B,1,1,C] ones tensor — the
+                # module auto-name ('Dropout_0') and draw shape match the
+                # unpacked path exactly, so the SAME channels drop — then
+                # repeat the multiplicative factor over the W phases.
+                factor = nn.Dropout(rate=self.dropout, broadcast_dims=(1, 2),
+                                    deterministic=not train)(
+                    jnp.ones((shortcut.shape[0], 1, 1, C), shortcut.dtype))
+                shortcut = shortcut * jnp.repeat(factor, rw, axis=-1)
+            out = GroupNorm(num_groups=16, epsilon=1e-5, channel_repeat=rw,
+                            name='norm')(y + shortcut)
+            return unpack_w(nn.elu(out), rw)
         y = ConvBlock(self.out_channels, 3, self.stride,
                       spatial_axis=self.spatial_axis, name='conv1')(x)
         y = ConvBlock(self.out_channels, 3, 1,
@@ -251,15 +323,18 @@ class ResidualBlock(nn.Module):
     num_blocks: int
     stride: int = 1
     dropout: Optional[float] = None
+    auto_lane_pack: bool = True
     spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = ResidualConv(self.out_channels, self.stride, self.dropout,
+                         auto_lane_pack=self.auto_lane_pack,
                          spatial_axis=self.spatial_axis,
                          name='block0')(x, train)
         for i in range(1, self.num_blocks):
             x = ResidualConv(self.out_channels, 1, self.dropout,
+                             auto_lane_pack=self.auto_lane_pack,
                              spatial_axis=self.spatial_axis,
                              name=f'block{i}')(x, train)
         return x
@@ -273,12 +348,15 @@ class InvDepthHead(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        pad_h = (1, 1)
+        pad_h, pad_w = (1, 1), (1, 1)
         if self.spatial_axis is not None:
-            from mindtheedge_tpu.parallel.spatial import halo_exchange_h
+            from mindtheedge_tpu.parallel.spatial import (
+                halo_exchange_h, spec_hw)
+            h_ax, w_ax = spec_hw(self.spatial_axis)
             x = halo_exchange_h(x, 1, self.spatial_axis)
-            pad_h = (0, 0)
-        x = nn.Conv(self.out_channels, (3, 3), padding=[pad_h, (1, 1)],
+            pad_h = (0, 0) if h_ax is not None else pad_h
+            pad_w = (0, 0) if w_ax is not None else pad_w
+        x = nn.Conv(self.out_channels, (3, 3), padding=[pad_h, pad_w],
                     kernel_init=_xavier, name='conv1')(x)
         return nn.sigmoid(x) / self.min_depth
 
@@ -357,11 +435,15 @@ class Conv3dOverChannels(nn.Module):
         kernel = self.param('kernel', _xavier, (3, 3, 3, 1, self.d), jnp.float32)
         bias = self.param('bias', nn.initializers.zeros, (self.d,), jnp.float32)
         if self.spatial_axis is not None:
-            from mindtheedge_tpu.parallel.spatial import halo_exchange_h
+            from mindtheedge_tpu.parallel.spatial import (
+                halo_exchange_h, spec_hw)
+            h_ax, w_ax = spec_hw(self.spatial_axis)
             k2 = _conv3d_tridiag_kernel(kernel.astype(x.dtype), x.shape[-1])
             xh = halo_exchange_h(x, 1, self.spatial_axis)
             y = jax.lax.conv_general_dilated(
-                xh, k2, (1, 1), [(0, 0), (1, 1)],
+                xh, k2, (1, 1),
+                [(0, 0) if h_ax is not None else (1, 1),
+                 (0, 0) if w_ax is not None else (1, 1)],
                 dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
         else:
             y = _conv3d_over_channels(x, kernel.astype(x.dtype))
@@ -385,16 +467,23 @@ def _compose_pack_kernel(k3, kernel2, d):
     D = kernel2.shape[2] // d
     K2r = kernel2.reshape(k, k, d, D, C)
     K3 = k3[:, :, :, 0, :]                            # [dz, dh1, dw1, f]
-    E = jnp.einsum('pqrf,abfzc->pqrabzc', K3, K2r)    # [3,3,3,k,k,D,C]
-    Kc = jnp.zeros((k + 2, k + 2, D, C), kernel2.dtype)
+    # 27 small [k,k,D,C] terms, placed by PAD and tree-SUMMED.  Two rejected
+    # formulations, both measured (tools/probe_levels.py): a single einsum to
+    # [3,3,3,k,k,D,C] materializes a 27x kernel-sized intermediate inside the
+    # jit (255 MB at pack5, 16.9 ms); 27 chained ``Kc.at[].add`` updates are
+    # a SERIAL dependency chain (pack5 still 9.3 ms).  Padded terms are
+    # data-parallel and the sum reduces as a tree.
+    terms = []
     for dz in range(3):
-        # place K2r[..., z, :] at zin = z + dz - 1 (z-shift via pad+slice)
-        Ez = jnp.pad(E[dz], ((0, 0), (0, 0), (0, 0), (0, 0), (1, 1), (0, 0)))
-        Ez = Ez[:, :, :, :, 2 - dz:2 - dz + D, :]
         for dh1 in range(3):
             for dw1 in range(3):
-                Kc = Kc.at[dh1:dh1 + k, dw1:dw1 + k].add(Ez[dh1, dw1])
-    return Kc
+                T = jnp.einsum('f,abfzc->abzc', K3[dz, dh1, dw1], K2r)
+                # place K2r[..., z, :] at zin = z + dz - 1 (pad+slice shift)
+                Tz = jnp.pad(T, ((0, 0), (0, 0), (1, 1), (0, 0)))
+                Tz = Tz[:, :, 2 - dz:2 - dz + D, :]
+                terms.append(jnp.pad(
+                    Tz, ((dh1, 2 - dh1), (dw1, 2 - dw1), (0, 0), (0, 0))))
+    return sum(terms)
 
 
 class _PackConvBlock(nn.Module):
@@ -438,15 +527,22 @@ class _PackConvBlock(nn.Module):
             # zero fill at the mesh edges reproduces both the conv3d zero
             # pad AND the reference's zero-pad of the *biased* intermediate
             # (layers01.py:214-248) exactly, so no border strips are needed.
-            from mindtheedge_tpu.parallel.spatial import halo_exchange_h
+            from mindtheedge_tpu.parallel.spatial import (
+                halo_exchange_h, spec_hw)
+            h_ax, w_ax = spec_hw(self.spatial_axis)
+
+            def pads(q):
+                return [(0, 0) if h_ax is not None else (q, q),
+                        (0, 0) if w_ax is not None else (q, q)]
+
             k2 = _conv3d_tridiag_kernel(k3, D)
             xh = halo_exchange_h(x, 1, self.spatial_axis)
             y1 = jax.lax.conv_general_dilated(
-                xh, k2, (1, 1), [(0, 0), (1, 1)],
+                xh, k2, (1, 1), pads(1),
                 dimension_numbers=dn) + jnp.repeat(b3, D)
             y1h = halo_exchange_h(y1, p, self.spatial_axis)
             y = jax.lax.conv_general_dilated(
-                y1h, kernel, (1, 1), [(0, 0), (p, p)],
+                y1h, kernel, (1, 1), pads(p),
                 dimension_numbers=dn) + bias
             y = GroupNorm(num_groups=16, epsilon=1e-5,
                           spatial_axis=self.spatial_axis, name='norm')(y)

@@ -62,3 +62,54 @@ def unpack_w(x, r):
     x = x.reshape(b, h, w, c, r)
     x = x.transpose(0, 1, 2, 4, 3)
     return x.reshape(b, h, w * r, c)
+
+
+def pack_w(x, r):
+    """W-phase packing: [B,H,W,C] -> [B,H,W/r,C*r] with channel c*r + dx."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h, w // r, r, c)
+    x = x.transpose(0, 1, 2, 4, 3)
+    return x.reshape(b, h, w // r, c * r)
+
+
+def packed_w_conv_geometry(kw, rw):
+    """(t0, kt): w'-tap offsets [t0, t0+kt) of the packed-domain conv."""
+    p = kw // 2
+    t0 = -((p + rw - 1) // rw)
+    t1 = (kw - 1 - p + rw - 1) // rw
+    return t0, t1 - t0 + 1
+
+
+def expand_kernel_packed_w(kernel, rw):
+    """[kh,kw,ci,co] -> [kh, kt, ci*rw, co*rw]: stride-1 SAME conv expressed
+    ENTIRELY in the W-phase-packed domain (input and output both packed),
+    so chains of convs never unpack between layers:
+
+        conv(Xp, Kp, stride 1, pad=(kh//2, -t0)) == pack_w(conv(x, K, SAME), rw)
+        for Xp = pack_w(x, rw)
+
+    Derivation: y[wo] = sum_d x[wo + d - p] K[d] with wo = w'o*rw + dxo and
+    x[m] = Xp[m // rw, ci*rw + m % rw] gives input w'-offset
+    s = (dxo + d - p - dxi) / rw, i.e. tap t = s - t0 with
+    d = (t + t0)*rw + dxi - dxo + p; entries with d outside [0, kw) are zero.
+    Nonzero density is kw/(kt*rw) — the multiply-by-zero FLOP inflation is
+    ~rw*kt/kw, paid on an MXU running narrow-channel convs at 25-50% lanes
+    otherwise (measured net win, tools/probe_san.py).  Use
+    ``packed_w_conv_geometry`` for the (t0, kt) padding: pad_w = (-t0,
+    kt - 1 + t0).
+    """
+    import numpy as np
+    kh, kw, ci, co = kernel.shape
+    p = kw // 2
+    t0, kt = packed_w_conv_geometry(kw, rw)
+    sel = np.zeros((kt, rw, rw, kw), np.float32)     # [t, dxi, dxo, d]
+    for t in range(kt):
+        for dxi in range(rw):
+            for dxo in range(rw):
+                d = (t + t0) * rw + dxi - dxo + p
+                if 0 <= d < kw:
+                    sel[t, dxi, dxo, d] = 1.0
+    sel = jnp.asarray(sel, kernel.dtype)
+    # [kh, kt, ci, dxi, co, dxo] -> [kh, kt, ci*rw, co*rw]
+    kp = jnp.einsum('tiod,adbc->atbico', sel, kernel)
+    return kp.reshape(kh, kt, ci * rw, co * rw)

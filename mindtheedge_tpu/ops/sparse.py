@@ -74,16 +74,27 @@ def masked_max_pool_3x3_s2(x, mask, spatial_axis=None):
     the minimum, reproducing the global padding exactly.
     """
     if spatial_axis is not None:
-        from mindtheedge_tpu.parallel.spatial import halo_exchange_h
-        assert x.shape[1] % 2 == 0, 'spatial pool needs even local height'
+        from mindtheedge_tpu.parallel.spatial import halo_exchange_h, spec_hw
+        h_ax, w_ax = spec_hw(spatial_axis)
+        if h_ax is not None:
+            assert x.shape[1] % 2 == 0, 'spatial pool needs even local height'
+        if w_ax is not None:
+            assert x.shape[2] % 2 == 0, 'spatial pool needs even local width'
+        # x and mask exchange separately: halo slices at the mesh edges come
+        # back zero-FILLED with mask 0, and the where() below re-masks them
+        # to the float minimum — reproducing the global -inf padding exactly
         xh = halo_exchange_h(x, 1, spatial_axis)
         mh = halo_exchange_h(mask, 1, spatial_axis)
         neg = jnp.asarray(jnp.finfo(jnp.float32).min, dtype=x.dtype)
         xp = jnp.pad(jnp.where(mh > 0, xh, neg),
-                     ((0, 0), (0, 0), (1, 1), (0, 0)),
+                     ((0, 0),
+                      (0, 0) if h_ax is not None else (1, 1),
+                      (0, 0) if w_ax is not None else (1, 1),
+                      (0, 0)),
                      constant_values=float(jnp.finfo(jnp.float32).min))
         b, h, w, c = x.shape
-        h_out, w_out = h // 2, (w + 1) // 2
+        h_out = h // 2 if h_ax is not None else (h + 1) // 2
+        w_out = w // 2 if w_ax is not None else (w + 1) // 2
         pooled = None
         for di in range(3):
             for dj in range(3):
@@ -93,7 +104,8 @@ def masked_max_pool_3x3_s2(x, mask, spatial_axis=None):
                     (1, 2, 2, 1))
                 pooled = sl if pooled is None else jnp.maximum(pooled, sl)
         hard_mask = jax.lax.stop_gradient(mask)
-        mp = jnp.pad(hard_mask, ((0, 0), (0, 0), (0, w_out * 2 - w), (0, 0)))
+        mp = jnp.pad(hard_mask, ((0, 0), (0, h_out * 2 - h),
+                                 (0, w_out * 2 - w), (0, 0)))
         cell = None
         for di in range(2):
             for dj in range(2):
@@ -159,25 +171,44 @@ def masked_max_pool_3x3_s2(x, mask, spatial_axis=None):
 
 
 class MaskedBatchNorm(nn.Module):
-    """BatchNorm with statistics over active sites only (sparse BN semantics)."""
+    """BatchNorm with statistics over active sites only (sparse BN semantics).
+
+    ``channel_repeat`` r > 1 serves W-phase-packed activations
+    (``ops/phase_conv.py``): x is [B,h,w/r,C*r] with packed channel order
+    c*r + dx, and ``mask`` is the PACKED mask [B,h,w/r,r].  Parameters and
+    running stats stay per ORIGINAL channel (checkpoint tree unchanged);
+    per-channel sums reduce over the r phase lanes too, so the statistics
+    are exactly the unpacked active-site statistics.
+    """
     momentum: float = 0.9   # torch BatchNorm default momentum=0.1 -> decay 0.9
     epsilon: float = 1e-5
+    channel_repeat: int = 1
     spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, mask, train: bool = False):
-        c = x.shape[-1]
+        r = self.channel_repeat
+        c = x.shape[-1] // r
         scale = self.param('scale', nn.initializers.ones, (c,), jnp.float32)
         bias = self.param('bias', nn.initializers.zeros, (c,), jnp.float32)
         ra_mean = self.variable('batch_stats', 'mean',
                                 lambda: jnp.zeros((c,), jnp.float32))
         ra_var = self.variable('batch_stats', 'var',
                                lambda: jnp.ones((c,), jnp.float32))
+        if r > 1:
+            assert self.spatial_axis is None, \
+                'packed MaskedBatchNorm is single-shard'
+            assert mask.shape[-1] == r, 'packed mask [B,h,w/r,r] expected'
+            m_t = jnp.tile(mask, (1, 1, 1, c)).astype(jnp.float32)
+        else:
+            m_t = mask.astype(jnp.float32)
+
+        def per_channel(v):       # [C*r] -> [C] phase reduction
+            return v.reshape(c, r).sum(-1) if r > 1 else v
 
         if train:
-            m = mask.astype(jnp.float32)
-            count = m.sum()
-            sum_x = (x.astype(jnp.float32) * m).sum(axis=(0, 1, 2))
+            count = mask.astype(jnp.float32).sum()
+            sum_x = per_channel((x.astype(jnp.float32) * m_t).sum(axis=(0, 1, 2)))
             if self.spatial_axis is not None:
                 # active-site stats are global over (B, H, W): psum the
                 # sharded sums/count (eval mode uses running stats, no comms)
@@ -185,7 +216,9 @@ class MaskedBatchNorm(nn.Module):
                 sum_x = jax.lax.psum(sum_x, self.spatial_axis)
             count = jnp.maximum(count, 1.0)
             mean = sum_x / count
-            sum_sq = ((x.astype(jnp.float32) - mean) ** 2 * m).sum(axis=(0, 1, 2))
+            mean_l = jnp.repeat(mean, r) if r > 1 else mean
+            sum_sq = per_channel(
+                ((x.astype(jnp.float32) - mean_l) ** 2 * m_t).sum(axis=(0, 1, 2)))
             if self.spatial_axis is not None:
                 sum_sq = jax.lax.psum(sum_sq, self.spatial_axis)
             var = sum_sq / count
@@ -196,8 +229,11 @@ class MaskedBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
 
         inv = jax.lax.rsqrt(var + self.epsilon)
-        y = (x.astype(jnp.float32) - mean) * inv * scale + bias
-        return (y * mask).astype(x.dtype)
+        gain, off = inv * scale, bias - mean * inv * scale
+        if r > 1:
+            gain, off = jnp.repeat(gain, r), jnp.repeat(off, r)
+        y = x.astype(jnp.float32) * gain + off
+        return (y * m_t).astype(x.dtype)
 
 
 class _SparseConvKernel(nn.Module):
@@ -224,15 +260,17 @@ class _KernelOnly(nn.Module):
 
 
 def _sparse_conv_apply(xm, kernel, mask, p, spatial_axis=None):
-    """conv(x * mask) * mask with SAME zero padding (halo-exchanged in H
-    under spatial sharding)."""
-    pad_h = (p, p)
+    """conv(x * mask) * mask with SAME zero padding (halo-exchanged along
+    each sharded dim under spatial sharding)."""
+    pad_h = pad_w = (p, p)
     if spatial_axis is not None:
-        from mindtheedge_tpu.parallel.spatial import halo_exchange_h
+        from mindtheedge_tpu.parallel.spatial import halo_exchange_h, spec_hw
+        h_ax, w_ax = spec_hw(spatial_axis)
         xm = halo_exchange_h(xm, p, spatial_axis)
-        pad_h = (0, 0)
+        pad_h = (0, 0) if h_ax is not None else pad_h
+        pad_w = (0, 0) if w_ax is not None else pad_w
     y = jax.lax.conv_general_dilated(
-        xm, kernel.astype(xm.dtype), (1, 1), [pad_h, (p, p)],
+        xm, kernel.astype(xm.dtype), (1, 1), [pad_h, pad_w],
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
     return y * mask
 
@@ -257,16 +295,22 @@ class MinkConvBlock(nn.Module):
     3x3/2 max-pool, then three parallel sparse-conv stacks (1/2/3 convs)
     summed, then masked BN + ReLU.
 
-    TPU fusion (bit-exact, same parameter tree): the three first-stage convs
-    (``layer1_0``, ``layer2_0``, ``layer3_0``) all read the same masked
-    input — their kernels are concatenated on the output-channel dim and run
-    as ONE conv (one HBM pass of x instead of three, and 5c output lanes
-    instead of c/2c on the narrow early levels).  Per-output-channel
-    reduction order is unchanged, so the split results equal the separate
-    convs exactly.
+    TPU fusions (same math, same parameter tree):
+
+    * the three first-stage convs (``layer1_0``, ``layer2_0``, ``layer3_0``)
+      all read the same masked input — their kernels are concatenated on the
+      output-channel dim and run as ONE conv (one HBM pass of x instead of
+      three).
+    * for the narrow levels (c < 128) the WHOLE level runs W-phase-packed
+      (``ops/phase_conv.py``): the fused conv emits packed, the chained
+      convs use packed-domain kernels, BN/ReLU/mask ops run on full 128-lane
+      tensors, and ONE unpack at the level exit restores the layout.  The
+      early levels ran at 25-50% lane utilization otherwise
+      (tools/probe_san.py: 5x5 64->32 4.8 -> 2.1 ms packed).
     """
     out_channels: int
     kernel_size: int
+    lane_pack: bool = True
     spatial_axis: Optional[str] = None
 
     @nn.compact
@@ -277,9 +321,70 @@ class MinkConvBlock(nn.Module):
         p = k // 2
         cin = x.shape[-1]
 
+        rw = 0
+        if sp is None and self.lane_pack and c < 128 and c % 16 == 0:
+            rw = min(4, 128 // c)
+            while rw > 1 and x.shape[2] % rw != 0:
+                rw //= 2
+            rw = 0 if rw == 1 else rw
+
         k1 = _SparseConvKernel(c, k, name='layer1_0')(cin)
         k2 = _SparseConvKernel(2 * c, k, name='layer2_0')(cin)
         k3 = _SparseConvKernel(2 * c, k, name='layer3_0')(cin)
+
+        if rw:
+            from mindtheedge_tpu.ops.phase_conv import (
+                expand_kernel_phase, expand_kernel_packed_w,
+                packed_w_conv_geometry, unpack_w)
+            b, h, w, _ = x.shape
+            mp = mask[..., 0].reshape(b, h, w // rw, rw)
+
+            # No mask multiply between ops: every conv output flows into a
+            # MaskedBatchNorm whose statistics ignore inactive sites and
+            # whose output re-zeroes them, and relu keeps zeros — so the
+            # active-site values and the level output are IDENTICAL while
+            # the O(#tensors) tiled-mask passes disappear (they cost +5 GB
+            # HBM/batch when materialized).  Conv inputs are zero at
+            # inactive sites by the same invariant (pool/BN outputs).
+            def conv_packed(xp, kern):
+                """packed input -> packed output sparse conv (no bias)."""
+                kp = expand_kernel_packed_w(kern, rw).astype(xp.dtype)
+                t0, kt = packed_w_conv_geometry(k, rw)
+                return jax.lax.conv_general_dilated(
+                    xp, kp, (1, 1), [(p, p), (-t0, kt - 1 + t0)],
+                    dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+            kf = expand_kernel_phase(
+                jnp.concatenate([k1, k2, k3], axis=-1), 1, rw)
+            fused = jax.lax.conv_general_dilated(
+                x, kf.astype(x.dtype), (1, rw), [(p, p), (p, p)],
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+            x1 = fused[..., :c * rw]
+            x2 = fused[..., c * rw:3 * c * rw]
+            x3 = fused[..., 3 * c * rw:]
+
+            x2 = MaskedBatchNorm(channel_repeat=rw,
+                                 name='layer2_bn0')(x2, mp, train)
+            x2 = nn.relu(x2)
+            x2 = conv_packed(
+                x2, _SparseConvKernel(c, k, name='layer2_1')(2 * c))
+
+            x3 = MaskedBatchNorm(channel_repeat=rw,
+                                 name='layer3_bn0')(x3, mp, train)
+            x3 = nn.relu(x3)
+            x3 = conv_packed(
+                x3, _SparseConvKernel(2 * c, k, name='layer3_1')(2 * c))
+            x3 = MaskedBatchNorm(channel_repeat=rw,
+                                 name='layer3_bn1')(x3, mp, train)
+            x3 = nn.relu(x3)
+            x3 = conv_packed(
+                x3, _SparseConvKernel(c, k, name='layer3_2')(2 * c))
+
+            y = MaskedBatchNorm(channel_repeat=rw,
+                                name='final_bn')(x1 + x2 + x3, mp, train)
+            y = nn.relu(y)
+            return unpack_w(y, rw), mask
+
         fused = _sparse_conv_apply(
             x * mask, jnp.concatenate([k1, k2, k3], axis=-1), mask, p, sp)
         x1 = fused[..., :c]

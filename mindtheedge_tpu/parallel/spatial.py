@@ -46,25 +46,66 @@ def axis_size(axis_name):
     return jax.lax.psum(1, axis_name)
 
 
-def halo_exchange_h(x, p, axis_name):
-    """Exchange p boundary rows with mesh neighbours along the H axis.
+def spec_hw(spatial_axis):
+    """Normalize a module ``spatial_axis`` into ``(h_axis, w_axis)``.
 
-    x: local shard [B, h, W, C] -> [B, h + 2p, W, C].  ``ppermute`` leaves
-    non-received slots zero, so the first/last shard get zero rows — exactly
-    the global SAME-conv zero padding.
+    Accepted forms: ``None`` (unsharded), a string (H-sharded over that axis
+    — the original 1-D form, back-compatible), or a 2-tuple
+    ``(h_axis_or_None, w_axis_or_None)`` for W-only / HxW sharding.
     """
-    if p == 0 or axis_name is None:
-        return x
+    if spatial_axis is None:
+        return (None, None)
+    if isinstance(spatial_axis, str):
+        return (spatial_axis, None)
+    h_ax, w_ax = spatial_axis
+    return (h_ax, w_ax)
+
+
+def spec_axes(spatial_axis):
+    """The non-None mesh axis names of a spatial spec (for pmean/psum)."""
+    return tuple(a for a in spec_hw(spatial_axis) if a)
+
+
+def _halo_exchange_dim(x, p, axis_name, dim):
+    """Exchange p boundary slices with mesh neighbours along tensor dim
+    ``dim`` (1 = H, 2 = W).  ``ppermute`` leaves non-received slots zero, so
+    the first/last shard get zero slices — exactly the global SAME-conv zero
+    padding."""
     n = axis_size(axis_name)
-    assert x.shape[1] >= p, \
-        f'halo {p} exceeds local shard height {x.shape[1]}'
+    assert x.shape[dim] >= p, \
+        f'halo {p} exceeds local shard extent {x.shape[dim]} (dim {dim})'
+    pad = [(0, 0)] * x.ndim
     if n == 1:
-        return jnp.pad(x, ((0, 0), (p, p), (0, 0), (0, 0)))
-    top = jax.lax.ppermute(x[:, -p:], axis_name,
+        pad[dim] = (p, p)
+        return jnp.pad(x, pad)
+    idx_lo = [slice(None)] * x.ndim
+    idx_lo[dim] = slice(0, p)
+    idx_hi = [slice(None)] * x.ndim
+    idx_hi[dim] = slice(x.shape[dim] - p, x.shape[dim])
+    top = jax.lax.ppermute(x[tuple(idx_hi)], axis_name,
                            [(i, i + 1) for i in range(n - 1)])
-    bot = jax.lax.ppermute(x[:, :p], axis_name,
+    bot = jax.lax.ppermute(x[tuple(idx_lo)], axis_name,
                            [(i + 1, i) for i in range(n - 1)])
-    return jnp.concatenate([top, x, bot], axis=1)
+    return jnp.concatenate([top, x, bot], axis=dim)
+
+
+def halo_exchange_h(x, p, spatial_axis):
+    """Halo-exchange p rows/cols per the spatial spec.
+
+    x: local shard [B, h, W, C].  For an H-axis spec returns
+    [B, h + 2p, W, C]; for an HxW spec the W exchange runs on the H-extended
+    tensor, so each shard also receives the diagonal-neighbour corner blocks
+    exactly (sequential-exchange corner completion).  Name kept from the
+    original H-only helper — every conv call site routes through here.
+    """
+    if p == 0 or spatial_axis is None:
+        return x
+    h_ax, w_ax = spec_hw(spatial_axis)
+    if h_ax is not None:
+        x = _halo_exchange_dim(x, p, h_ax, 1)
+    if w_ax is not None:
+        x = _halo_exchange_dim(x, p, w_ax, 2)
+    return x
 
 
 def legal_space_sizes(height, n_levels=5, limit=8):
@@ -103,6 +144,26 @@ def make_space_mesh(n_space, devices=None, axis_name='space'):
     return Mesh(np.asarray(devices[:n_space]), (axis_name,))
 
 
+def legal_space_grids(height, width, n_levels=5, limit=8):
+    """All (n_h, n_w) grids for which HxW sharding keeps every pack level
+    shard-local in both dims (each dim divisible by its mesh extent, local
+    extent surviving ``n_levels`` stride-2 halvings).  Includes 1-D grids
+    (n_w=1 = classic H sharding, n_h=1 = W-only)."""
+    hs = legal_space_sizes(height, n_levels, limit)
+    ws = legal_space_sizes(width, n_levels, limit)
+    return [(nh, nw) for nh in hs for nw in ws if nh * nw <= limit]
+
+
+def make_space_mesh_hw(n_h, n_w, devices=None,
+                       h_axis='space', w_axis='space_w'):
+    """2-D spatial mesh: H over ``h_axis`` (major), W over ``w_axis`` (minor,
+    so W halo ppermutes ride nearest-neighbour links)."""
+    devices = jax.devices() if devices is None else devices
+    n = n_h * n_w
+    assert len(devices) >= n, f'need {n} devices, have {len(devices)}'
+    return Mesh(np.asarray(devices[:n]).reshape(n_h, n_w), (h_axis, w_axis))
+
+
 def make_dp_space_mesh(n_data, n_space, devices=None,
                        data_axis='data', axis_name='space'):
     """2-D (data x space) mesh: batch DP over ``data``, H-sharding over
@@ -115,20 +176,23 @@ def make_dp_space_mesh(n_data, n_space, devices=None,
                 (data_axis, axis_name))
 
 
-def make_spatial_infer(model, mesh, axis_name='space', with_depth=False):
+def make_spatial_infer(model, mesh, axis_name='space', with_depth=False,
+                       w_axis_name=None):
     """jit-compiled spatially-sharded forward.
 
-    ``model`` must be constructed with ``spatial_axis=axis_name``.  Returns
+    ``model`` must be constructed with a matching ``spatial_axis`` —
+    ``axis_name`` for H-only, ``(axis_name, w_axis_name)`` for HxW, or
+    ``(None, w_axis_name)`` for W-only (pass ``axis_name=None``).  Returns
     ``fn(variables, rgb[, input_depth]) -> inv_depths`` where rgb enters
-    H-sharded over the mesh and the inverse-depth pyramid comes back
-    H-sharded (fetch or ``device_put`` to replicated as needed).
+    spatially sharded over the mesh and the inverse-depth pyramid comes back
+    sharded the same way (fetch or ``device_put`` to replicated as needed).
     """
     def fwd(variables, *inputs):
         out = model.apply(variables, *inputs, train=False)
         return out['inv_depths']
 
     n_in = 2 if with_depth else 1
-    act = P(None, axis_name)
+    act = P(None, axis_name, w_axis_name)
     sharded = jax.shard_map(
         fwd, mesh=mesh,
         in_specs=(P(),) + (act,) * n_in,
@@ -137,9 +201,10 @@ def make_spatial_infer(model, mesh, axis_name='space', with_depth=False):
     return jax.jit(sharded)
 
 
-def shard_spatial(x, mesh, axis_name='space'):
-    """Place [B,H,W,C] with H sharded over the mesh."""
-    return jax.device_put(x, NamedSharding(mesh, P(None, axis_name)))
+def shard_spatial(x, mesh, axis_name='space', w_axis_name=None):
+    """Place [B,H,W,C] spatially sharded over the mesh."""
+    return jax.device_put(
+        x, NamedSharding(mesh, P(None, axis_name, w_axis_name)))
 
 
 def make_spatial_train_step(task, optimizer, mesh, axis_name='space'):
@@ -185,12 +250,16 @@ def make_spatial_train_step(task, optimizer, mesh, axis_name='space'):
     assert hasattr(task.depth_net, 'spatial_axis'), \
         f'{type(task.depth_net).__name__} has no spatial support'
     if task.supervised_loss_weight < 1.0 and task.pose_net is not None:
-        raise NotImplementedError(
-            'Spatial training supports pure-supervised tasks only '
-            f'(supervised_loss_weight={task.supervised_loss_weight} < 1 would '
-            'run the pose net / photometric loss on H-sharded rgb with '
-            'replicated context frames). Set '
-            'model.loss.supervised_loss_weight: 1.0 or train unsharded.')
+        # Self-sup / semi-sup spatial design (VERDICT r3 #6): depth-net
+        # compute stays H-sharded; the pose net (7 stride-2 convs to a 6-DoF
+        # vector — KBs of activations) runs REPLICATED on the all_gathered
+        # full-H rgb; the photometric warp then consumes the gathered full-H
+        # pyramid (output_hook below) + space-replicated context originals,
+        # so the whole loss is replicated and matches the unsharded step.
+        # Pose grads come out full and identical on every device, so the
+        # grad pmean over space leaves them unchanged (see pmean note below).
+        task.pose_input_transform = lambda rgb, ctx: (
+            jax.lax.all_gather(rgb, axis_name, axis=1, tiled=True), ctx)
     task.depth_net = task.depth_net.clone(spatial_axis=axis_name)
     # Only 4-D image inputs consumed EXCLUSIVELY by the depth net enter
     # H-sharded.  rgb_edge is also reused by the edge loss as seg_mask

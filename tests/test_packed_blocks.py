@@ -1,0 +1,117 @@
+"""Packed-domain ResidualConv and MinkConvBlock == their unpacked forms.
+
+The W-phase-packed chains (``ops/phase_conv.expand_kernel_packed_w``) change
+only the layout/laneing of the compute, never the math or the parameter
+tree.  These tests share ONE set of initialized params between the packed
+and unpacked module variants and assert output equality at float tolerance
+(reduction order differs through the zero-padded packed kernels).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mindtheedge_tpu.ops.blocks import ResidualConv, ResidualBlock, ConvBlock
+from mindtheedge_tpu.ops.sparse import MinkConvBlock
+
+
+def _x(rng, shape):
+    return jnp.asarray(rng.randn(*shape).astype(np.float32))
+
+
+@pytest.mark.parametrize('cin,cout', [(32, 64), (64, 64), (64, 32)])
+def test_packed_residual_conv_matches_unpacked(cin, cout):
+    rng = np.random.RandomState(0)
+    x = _x(rng, (2, 8, 24, cin))
+    packed = ResidualConv(cout)
+    plain = ResidualConv(cout, auto_lane_pack=False)
+    key = jax.random.PRNGKey(0)
+    v = plain.init(key, x, False)
+    # identical parameter trees (checkpoints swap freely between paths)
+    vp = packed.init(key, x, False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(vp)
+    for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(v)[0],
+            jax.tree_util.tree_flatten_with_path(vp)[0]):
+        assert a.shape == b.shape, jax.tree_util.keystr(kp)
+
+    out_plain = plain.apply(v, x, False)
+    out_packed = packed.apply(v, x, False)
+    np.testing.assert_allclose(np.asarray(out_packed), np.asarray(out_plain),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_packed_residual_conv_dropout_matches_unpacked():
+    """Same rng stream -> the packed path's manual Dropout2d draws the SAME
+    per-channel mask as nn.Dropout(broadcast_dims=(1,2))."""
+    rng = np.random.RandomState(1)
+    x = _x(rng, (2, 8, 24, 32))
+    packed = ResidualConv(32, dropout=0.5)
+    plain = ResidualConv(32, dropout=0.5, auto_lane_pack=False)
+    key = jax.random.PRNGKey(0)
+    v = plain.init(key, x, False)
+    dk = {'dropout': jax.random.PRNGKey(7)}
+    out_plain = plain.apply(v, x, True, rngs=dk)
+    out_packed = packed.apply(v, x, True, rngs=dk)
+    np.testing.assert_allclose(np.asarray(out_packed), np.asarray(out_plain),
+                               rtol=1e-4, atol=1e-5)
+    # dropout actually dropped something (mask not all-ones)
+    out_nodrop = packed.apply(v, x, False)
+    assert np.abs(np.asarray(out_packed) - np.asarray(out_nodrop)).max() > 1e-3
+
+
+def test_packed_residual_block_matches_unpacked():
+    rng = np.random.RandomState(2)
+    x = _x(rng, (1, 8, 16, 32))
+    packed = ResidualBlock(64, 2)
+    plain = ResidualBlock(64, 2, auto_lane_pack=False)
+    v = plain.init(jax.random.PRNGKey(0), x, False)
+    np.testing.assert_allclose(
+        np.asarray(packed.apply(v, x, False)),
+        np.asarray(plain.apply(v, x, False)), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize('c,k', [(32, 5), (64, 5), (64, 3)])
+def test_packed_minkconv_matches_unpacked(c, k):
+    rng = np.random.RandomState(c + k)
+    d = rng.rand(2, 16, 48, 1).astype(np.float32) * 80
+    d[rng.rand(2, 16, 48, 1) < 0.8] = 0.0
+    x = jnp.asarray(d)
+    mask = (x > 0).astype(x.dtype)
+
+    packed = MinkConvBlock(c, k)
+    plain = MinkConvBlock(c, k, lane_pack=False)
+    key = jax.random.PRNGKey(0)
+    v = plain.init(key, x, mask, False)
+    vp = packed.init(key, x, mask, False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(vp)
+
+    yp, mp = packed.apply(v, x, mask, False)
+    yu, mu = plain.apply(v, x, mask, False)
+    np.testing.assert_array_equal(np.asarray(mp), np.asarray(mu))
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(yu),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_packed_minkconv_train_stats_match():
+    """Masked-BN batch stats accumulated through the packed level equal the
+    unpacked level's (phase reduction is exact)."""
+    rng = np.random.RandomState(3)
+    d = rng.rand(2, 16, 48, 1).astype(np.float32) * 80
+    d[rng.rand(2, 16, 48, 1) < 0.8] = 0.0
+    x = jnp.asarray(d)
+    mask = (x > 0).astype(x.dtype)
+
+    packed = MinkConvBlock(32, 5)
+    plain = MinkConvBlock(32, 5, lane_pack=False)
+    v = plain.init(jax.random.PRNGKey(0), x, mask, True)
+
+    (_, _), mut_p = packed.apply(v, x, mask, True, mutable=['batch_stats'])
+    (_, _), mut_u = plain.apply(v, x, mask, True, mutable=['batch_stats'])
+    for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(mut_p)[0],
+            jax.tree_util.tree_flatten_with_path(mut_u)[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=jax.tree_util.keystr(kp))
