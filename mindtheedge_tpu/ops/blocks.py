@@ -549,6 +549,12 @@ class _PackConvBlock(nn.Module):
             return nn.elu(y)
 
         if h < 2 * p + 1 or w < 2 * p + 1:
+            # (An unfused-below-threshold variant was A/B-tested and LOST:
+            # full_rgbd 99.8 -> 105.9 ms with pack3..5 unfused — the tridiag
+            # conv3d kernel build + inflated small-M convs cost more than the
+            # composed path's fixed overhead.  K=10 per-segment readings that
+            # suggested otherwise were relay-latency noise; trust K>=30 full-
+            # model A/Bs.)
             y = strip_pipe(x)
         else:
             Kc = _compose_pack_kernel(k3, kernel, self.d)

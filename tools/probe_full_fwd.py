@@ -11,7 +11,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), '..')))
 
-K = 10
+K = 30
 
 
 def main():
