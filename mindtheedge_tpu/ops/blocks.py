@@ -341,7 +341,13 @@ class ResidualBlock(nn.Module):
 
 
 class InvDepthHead(nn.Module):
-    """3x3 conv -> sigmoid / min_depth; inverse-depth in (0, 1/min_depth)."""
+    """3x3 conv -> sigmoid / min_depth; inverse-depth in (0, 1/min_depth).
+
+    The 1-channel (or 2-channel DEE) output runs the MXU at 1/128 output
+    lanes; the unsharded path therefore W-phase-packs aggressively (up to
+    rw=128) — same math, same {conv1: kernel, bias} tree, sigmoid is
+    phase-invariant, one unpack at the end.
+    """
     out_channels: int = 1
     min_depth: float = 0.5
     spatial_axis: Optional[str] = None
@@ -356,6 +362,20 @@ class InvDepthHead(nn.Module):
             x = halo_exchange_h(x, 1, self.spatial_axis)
             pad_h = (0, 0) if h_ax is not None else pad_h
             pad_w = (0, 0) if w_ax is not None else pad_w
+        elif self.out_channels < 64:
+            rw = 128 // self.out_channels
+            while rw > 1 and x.shape[2] % rw != 0:
+                rw //= 2
+            if rw > 1:
+                kernel, bias = _ConvParams(self.out_channels, 3,
+                                           name='conv1')(x.shape[-1])
+                x, kernel, bias = promote_dtype(x, kernel, bias, dtype=None)
+                y = jax.lax.conv_general_dilated(
+                    x, expand_kernel_phase(kernel, 1, rw), (1, rw),
+                    [(1, 1), (1, 1)],
+                    dimension_numbers=('NHWC', 'HWIO', 'NHWC')) \
+                    + jnp.repeat(bias, rw)
+                return unpack_w(nn.sigmoid(y) / self.min_depth, rw)
         x = nn.Conv(self.out_channels, (3, 3), padding=[pad_h, pad_w],
                     kernel_init=_xavier, name='conv1')(x)
         return nn.sigmoid(x) / self.min_depth

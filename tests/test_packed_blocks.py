@@ -115,3 +115,24 @@ def test_packed_minkconv_train_stats_match():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5,
                                    err_msg=jax.tree_util.keystr(kp))
+
+
+@pytest.mark.parametrize('co,w', [(1, 24), (2, 160), (1, 64)])
+def test_packed_invdepth_head_matches_plain(co, w):
+    """The W-phase-packed InvDepthHead (1/128-lane head otherwise) equals
+    the plain conv + sigmoid/min_depth."""
+    import flax.linen as nn
+    from mindtheedge_tpu.ops.blocks import InvDepthHead
+
+    rng = np.random.RandomState(co * 100 + w)
+    x = _x(rng, (1, 4, w, 32))
+    head = InvDepthHead(co)
+    v = head.init(jax.random.PRNGKey(0), x)
+    got = head.apply(v, x)
+    k, b = v['params']['conv1']['kernel'], v['params']['conv1']['bias']
+    y = jax.lax.conv_general_dilated(
+        x, k, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC')) + b
+    want = nn.sigmoid(y) / 0.5
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)

@@ -143,10 +143,15 @@ def main():
 
     results = {}
 
-    # full step: fwd + bwd + Adam (metric read defeats memoization per iter)
+    # full step: fwd + bwd + Adam.  The scalar must depend on the UPDATED
+    # state or XLA dead-code-eliminates the entire backward + optimizer
+    # (first run of this probe measured 74.8 ms for the "full step" — equal
+    # to fwd-only — with a fwd-only cost analysis; the grad_norm + updated-
+    # param term forces the whole chain).
     def full(state_, batch_, key_):
-        _, metrics = train_step(state_, batch_, key_)
-        return metrics['loss'].astype(jnp.float32)
+        new_state, metrics = train_step(state_, batch_, key_)
+        upd = new_state.params['depth']['weight'].astype(jnp.float32).sum()
+        return (metrics['loss'] + metrics['grad_norm']).astype(jnp.float32) + upd
 
     results['full_step'] = bench(full, (state, batch, key))
 
