@@ -39,13 +39,15 @@ def parse_args(argv=None):
                              '--batch after --spatial takes its share), '
                              '0/1 = off. Composable with --spatial: an NxM '
                              '(data x space) mesh.')
-    parser.add_argument('--wire', choices=('u16', 'f32'), default='u16',
+    parser.add_argument('--wire', choices=('u16', 'u8', 'f32'), default='u16',
                         help='Depth downlink format: u16 = KITTI 1/256 m '
                              'storage format (half the bytes, 3.9 mm '
                              'quantization — finer than the AUC protocol '
-                             'itself); f32 = lossless (parity debugging). '
+                             'itself); u8 = the AUC protocol\'s own 80/255 m '
+                             'grid (half again; edge-AUC-exact, eval-only); '
+                             'f32 = lossless (parity debugging). '
                              'Lidar uplink ships as sparse (idx, u16) points '
-                             'either way when density allows (ops/wire.py).')
+                             'when density allows (ops/wire.py).')
     return parser.parse_args(argv)
 
 
@@ -194,7 +196,11 @@ def main(argv=None):
     # ---- serving program: decode sparse lidar in-graph, forward, emit the
     # depth map in the wire format (ops/wire.py) ------------------------------
     from mindtheedge_tpu.ops import wire
-    use_u16 = args.wire == 'u16'
+    use_u16 = args.wire in ('u16', 'u8')
+    _enc = {'u16': wire.encode_depth_u16, 'u8': wire.encode_depth_u8,
+            'f32': lambda d: d}[args.wire]
+    _dec = {'u16': wire.decode_depth_u16, 'u8': wire.decode_depth_u8,
+            'f32': np.asarray}[args.wire]
 
     def serve_fn(v, b):
         b = dict(b)
@@ -203,7 +209,7 @@ def main(argv=None):
             b['input_depth'] = wire.decode_lidar_sparse(
                 b.pop('input_depth_idx'), b.pop('input_depth_val'), h_, w_)
         depth = inv2depth(task.infer(v, b)['inv_depths'][0][..., 0])
-        return wire.encode_depth_u16(depth) if use_u16 else depth
+        return _enc(depth)
 
     # ---- device mesh: batch-DP x spatial (data x space) ----------------------
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -262,7 +268,7 @@ def main(argv=None):
 
         def spatial_serve(v, b):
             depth = inv2depth(task.infer(v, b)['inv_depths'][0][..., 0])
-            return wire.encode_depth_u16(depth) if use_u16 else depth
+            return _enc(depth)
 
         # mesh axes: data (if DP) x space (if H-sharded) x space_w (if W)
         import numpy as _np
@@ -320,8 +326,7 @@ def main(argv=None):
     def drain(entry):
         nonlocal counter
         depth_dev, n_items = entry
-        depth = (wire.decode_depth_u16(depth_dev) if use_u16
-                 else np.asarray(depth_dev))
+        depth = _dec(depth_dev)
         for b in range(n_items):
             out_base = os.path.join(cfg.save.folder, str(counter).zfill(8))
             save_depth_outputs(depth[b], out_base, cfg.save)

@@ -15,7 +15,7 @@ Differences from the reference (deliberate, documented):
   AttributeError we do not replicate).
 """
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -156,7 +156,11 @@ class PackNetSAN(nn.Module):
     input_channels: int = 3
     output_channels: int = 1
     channels: tuple = SLIM_CHANNELS
-    remat: bool = False       # rematerialize encoder/decoder activations
+    # False: store residuals; True: full-module remat (for HBM CAPACITY —
+    # loses on bandwidth: 409 vs 237 ms/step measured); 'conv': selective —
+    # save conv outputs only, recompute GN/ELU/mask chains in the backward
+    # fusion (the byte-reduction lever for the HBM-saturated bwd)
+    remat: Any = False
     freeze_encoder: bool = False   # enforced by the optimizer partition, not here
     freeze_decoder: bool = False
     freeze_san: bool = False
@@ -165,16 +169,20 @@ class PackNetSAN(nn.Module):
     def setup(self):
         # jax.checkpoint on the big submodules trades recompute for HBM —
         # required for full-res (384x1280) training batches on one chip.
-        Enc = nn.remat(PackNetSlimEncoder, static_argnums=(2,)) \
+        kw = {}
+        if self.remat == 'conv':
+            kw['policy'] = jax.checkpoint_policies.save_only_these_names(
+                'conv_out')
+        Enc = nn.remat(PackNetSlimEncoder, static_argnums=(2,), **kw) \
             if self.remat else PackNetSlimEncoder
-        Dec = nn.remat(PackNetDecoder) if self.remat else PackNetDecoder
+        Dec = nn.remat(PackNetDecoder, **kw) if self.remat else PackNetDecoder
         self.encoder = Enc(dropout=self.dropout, channels=self.channels,
                            spatial_axis=self.spatial_axis)
         self.decoder = Dec(out_channels=self.output_channels,
                            version=self.version[1:] or 'A',
                            channels=self.channels,
                            spatial_axis=self.spatial_axis)
-        San = nn.remat(SparseDepthEncoder, static_argnums=(2,)) \
+        San = nn.remat(SparseDepthEncoder, static_argnums=(2,), **kw) \
             if self.remat else SparseDepthEncoder
         self.mconvs = San(channels=tuple(self.channels[1:]),
                           spatial_axis=self.spatial_axis)

@@ -75,7 +75,7 @@ def build_depth_net(cfg):
                    dropout=cfg.dropout or None,
                    input_channels=cfg.input_channels,
                    output_channels=cfg.output_channels,
-                   remat=bool(cfg.get('remat', False)),
+                   remat=cfg.get('remat', False) or False,
                    freeze_encoder=cfg.freeze_encoder,
                    freeze_decoder=cfg.freeze_decoder,
                    freeze_san=cfg.freeze_san, **extra)

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 from flax.linen.dtypes import promote_dtype
+from jax.ad_checkpoint import checkpoint_name
 
 from mindtheedge_tpu.ops.packing import pack2d, unpack2d
 from mindtheedge_tpu.ops.phase_conv import (
@@ -214,9 +215,9 @@ class ConvBlock(nn.Module):
                 strides = (1, rw)
             else:
                 strides = (self.stride, self.stride)
-        x = jax.lax.conv_general_dilated(
+        x = checkpoint_name(jax.lax.conv_general_dilated(
             x, kernel, strides, pads,
-            dimension_numbers=('NHWC', 'HWIO', 'NHWC')) + bias
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC')) + bias, 'conv_out')
         repeat = 4 if self.phase_pack else (rw or 1)
         x = GroupNorm(num_groups=16, epsilon=1e-5, channel_repeat=repeat,
                       name='norm')(x)
@@ -240,7 +241,8 @@ class ConvBlock(nn.Module):
                 t, ks, (1, rw), [(p, p), (p, p)],
                 dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
             y = yi if y is None else y + yi
-        y = y + (jnp.repeat(bias, rw) if rw > 1 else bias)
+        y = checkpoint_name(
+            y + (jnp.repeat(bias, rw) if rw > 1 else bias), 'conv_out')
         y = GroupNorm(num_groups=16, epsilon=1e-5, channel_repeat=rw,
                       name='norm')(y)
         y = nn.elu(y)
@@ -282,11 +284,11 @@ class ResidualConv(nn.Module):
                           name='conv2')(y)
             k1, b1 = _ConvParams(C, 1, name='conv3')(x.shape[-1])
             xs, k1, b1 = promote_dtype(x, k1, b1, dtype=None)
-            shortcut = jax.lax.conv_general_dilated(
+            shortcut = checkpoint_name(jax.lax.conv_general_dilated(
                 xs, expand_kernel_phase(k1, 1, rw), (1, rw),
                 [(0, 0), (0, 0)],
-                dimension_numbers=('NHWC', 'HWIO', 'NHWC')) \
-                + jnp.repeat(b1, rw)
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+                + jnp.repeat(b1, rw), 'conv_out')
             if self.dropout:
                 # Dropout2d with one draw per ORIGINAL channel: run the real
                 # nn.Dropout submodule on a [B,1,1,C] ones tensor — the
@@ -584,9 +586,9 @@ class _PackConvBlock(nn.Module):
             if rw > 1:
                 Kc = expand_kernel_phase(Kc, 1, rw)
                 cbias = jnp.repeat(cbias, rw)
-            y = jax.lax.conv_general_dilated(
+            y = checkpoint_name(jax.lax.conv_general_dilated(
                 x, Kc, (1, rw), [(p + 1, p + 1), (p + 1, p + 1)],
-                dimension_numbers=dn) + cbias
+                dimension_numbers=dn) + cbias, 'conv_out')
             if rw > 1:
                 y = unpack_w(y, rw)
             # exact border bands, spliced via dynamic_update_slice (an

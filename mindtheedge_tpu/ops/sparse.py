@@ -269,9 +269,10 @@ def _sparse_conv_apply(xm, kernel, mask, p, spatial_axis=None):
         xm = halo_exchange_h(xm, p, spatial_axis)
         pad_h = (0, 0) if h_ax is not None else pad_h
         pad_w = (0, 0) if w_ax is not None else pad_w
-    y = jax.lax.conv_general_dilated(
+    from jax.ad_checkpoint import checkpoint_name
+    y = checkpoint_name(jax.lax.conv_general_dilated(
         xm, kernel.astype(xm.dtype), (1, 1), [pad_h, pad_w],
-        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC')), 'conv_out')
     return y * mask
 
 
@@ -346,19 +347,21 @@ class MinkConvBlock(nn.Module):
             # the O(#tensors) tiled-mask passes disappear (they cost +5 GB
             # HBM/batch when materialized).  Conv inputs are zero at
             # inactive sites by the same invariant (pool/BN outputs).
+            from jax.ad_checkpoint import checkpoint_name
+
             def conv_packed(xp, kern):
                 """packed input -> packed output sparse conv (no bias)."""
                 kp = expand_kernel_packed_w(kern, rw).astype(xp.dtype)
                 t0, kt = packed_w_conv_geometry(k, rw)
-                return jax.lax.conv_general_dilated(
+                return checkpoint_name(jax.lax.conv_general_dilated(
                     xp, kp, (1, 1), [(p, p), (-t0, kt - 1 + t0)],
-                    dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+                    dimension_numbers=('NHWC', 'HWIO', 'NHWC')), 'conv_out')
 
             kf = expand_kernel_phase(
                 jnp.concatenate([k1, k2, k3], axis=-1), 1, rw)
-            fused = jax.lax.conv_general_dilated(
+            fused = checkpoint_name(jax.lax.conv_general_dilated(
                 x, kf.astype(x.dtype), (1, rw), [(p, p), (p, p)],
-                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC')), 'conv_out')
             x1 = fused[..., :c * rw]
             x2 = fused[..., c * rw:3 * c * rw]
             x3 = fused[..., 3 * c * rw:]

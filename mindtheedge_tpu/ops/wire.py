@@ -101,3 +101,24 @@ def jax_vmap_scatter(dense, idx, val):
     import jax
     return jax.vmap(lambda d, i, v: d.at[i].set(v, mode='drop'))(
         dense, idx.astype(jnp.int32), val)
+
+
+# -- protocol-precision u8 depth (eval-only, opt-in) ---------------------------
+
+U8_MAX_DEPTH = 80.0   # the edge-AUC protocol's own quantization grid:
+                      # clip(d, 0, 80) * 255 / 80 -> uint8 (eval_depth_edges.py:244)
+
+
+def encode_depth_u8(depth):
+    """float depth [m] -> uint8 at the AUC protocol's own 80/255 m grid
+    (in-graph).  0.31 m steps — EXACTLY the quantization
+    ``edge_from_depth`` applies before Canny, so edge-AUC results are
+    unaffected; depth metrics see the coarser grid (eval-only serving)."""
+    d = jnp.round(jnp.clip(depth.astype(jnp.float32), 0.0, U8_MAX_DEPTH)
+                  * (255.0 / U8_MAX_DEPTH))
+    return d.astype(jnp.uint8)
+
+
+def decode_depth_u8(u8):
+    """Host-side inverse -> float32 metres on the protocol grid."""
+    return np.asarray(u8).astype(np.float32) * (U8_MAX_DEPTH / 255.0)

@@ -89,3 +89,34 @@ def test_lidar_sparse_batched():
         ref = np.asarray(jnp.round(jnp.asarray(frames[b]) * 256.0)) / 256.0
         ref[frames[b] == 0] = 0.0
         np.testing.assert_array_equal(out[b, ..., 0], ref.astype(np.float32))
+
+
+def test_depth_u8_protocol_grid_roundtrip():
+    """u8 depth wire rides the AUC protocol's own 80/255 m quantization:
+    decode(encode(d)) == the grid the protocol itself snaps depth to before
+    Canny (eval_depth_edges.py:244) — so edge-AUC is unaffected."""
+    import jax.numpy as jnp
+    from mindtheedge_tpu.ops import wire
+    rng = np.random.RandomState(0)
+    d = rng.rand(2, 8, 16).astype(np.float32) * 100.0   # incl. >80 clip range
+    enc = np.asarray(wire.encode_depth_u8(jnp.asarray(d)))
+    assert enc.dtype == np.uint8
+    dec = wire.decode_depth_u8(enc)
+    # protocol's own u8 snap
+    protocol = np.round(np.clip(d, 0, 80) * 255.0 / 80.0).astype(np.uint8)
+    np.testing.assert_array_equal(enc, protocol)
+    np.testing.assert_allclose(dec, protocol.astype(np.float32) * 80.0 / 255.0,
+                               rtol=1e-6)
+
+
+def test_depth_u8_preserves_protocol_edges():
+    """Canny input after u8 wire == Canny input from f32 depth (the AUC
+    protocol quantizes either way)."""
+    import jax.numpy as jnp
+    from mindtheedge_tpu.ops import wire
+    rng = np.random.RandomState(1)
+    d = rng.rand(6, 10).astype(np.float32) * 90.0
+    via_wire = wire.decode_depth_u8(np.asarray(wire.encode_depth_u8(jnp.asarray(d))))
+    q1 = np.round(np.clip(via_wire, 0, 80) * 255.0 / 80.0).astype(np.uint8)
+    q2 = np.round(np.clip(d, 0, 80) * 255.0 / 80.0).astype(np.uint8)
+    np.testing.assert_array_equal(q1, q2)

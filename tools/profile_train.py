@@ -65,14 +65,14 @@ def cost(fn, *args):
         return 0, 0
 
 
-def paper_cfg(precision='bfloat16', remat=False):
+def paper_cfg(precision='bfloat16', remat=''):
     from mindtheedge_tpu.config import get_cfg_defaults, prepare_config
     cfg = get_cfg_defaults()
     cfg.model.name = 'SemiSupEdgeModel'
     cfg.model.depth_net.name = 'PackNetSAN01'
     cfg.model.depth_net.version = '1A'
     cfg.model.depth_net.dropout = 0.5
-    cfg.model.depth_net.remat = remat
+    cfg.model.depth_net.remat = {'': False, 'full': True}.get(remat, remat)
     cfg.model.loss.supervised_method = 'sparse-silog'
     cfg.model.loss.supervised_num_scales = 1
     cfg.model.loss.supervised_loss_weight = 1.0
@@ -109,7 +109,7 @@ def main():
     ap.add_argument('--batch', type=int, default=3)
     ap.add_argument('--height', type=int, default=384)
     ap.add_argument('--width', type=int, default=1280)
-    ap.add_argument('--remat', action='store_true')
+    ap.add_argument('--remat', default='', help="'' | 'full' | 'conv'")
     ap.add_argument('--precision', default='bfloat16')
     args = ap.parse_args()
 
