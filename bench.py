@@ -80,6 +80,12 @@ def _build(batch, dtype_name):
         jax.random.PRNGKey(0), small, small_d)
     variables = jax.tree_util.tree_map(
         lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, variables)
+    # serving kernel cache at the REAL serving shape: hoists the parameter-
+    # derived conv kernels (a ~64 ms batch-independent fixed cost) out of
+    # the per-batch program (models/packnet.prepare_kernel_cache)
+    from mindtheedge_tpu.models.packnet import prepare_kernel_cache
+    variables = prepare_kernel_cache(
+        model, variables, jnp.zeros((1, H, W, 3), dtype), lidar[:1])
 
     def _depth_edges(variables, rgb, lidar):
         out = model.apply(variables, rgb, lidar, train=False)

@@ -193,6 +193,19 @@ def main(argv=None):
             if net in batch_stats:
                 variables[net]['batch_stats'] = batch_stats[net]
 
+    # serving kernel cache: precompute the parameter-derived conv kernels at
+    # the serving shapes so their derivation chains (a ~64 ms batch-
+    # independent fixed cost, ops/blocks.derived_kernel) leave the per-batch
+    # program.  Params are fixed for the whole run, so this is exact.
+    if hasattr(task.depth_net, 'spatial_axis'):
+        try:
+            from mindtheedge_tpu.models.packnet import prepare_kernel_cache
+            kwargs1 = {k: v for k, v in sample.items() if k != 'rgb'}
+            variables['depth'] = prepare_kernel_cache(
+                task.depth_net, variables['depth'], sample['rgb'], **kwargs1)
+        except Exception as e:   # cache is an optimization, never a blocker
+            print(f'kernel-cache prepare skipped: {e}')
+
     # ---- serving program: decode sparse lidar in-graph, forward, emit the
     # depth map in the wire format (ops/wire.py) ------------------------------
     from mindtheedge_tpu.ops import wire

@@ -254,3 +254,26 @@ class PackNet01(nn.Module):
 class PackNetSlim01(PackNet01):
     """Slim-channel PackNet variant (reference ``networks/depth/PackNetSlim01.py``)."""
     channels: tuple = SLIM_CHANNELS
+
+
+def prepare_kernel_cache(model, variables, *example_inputs, **apply_kwargs):
+    """Precompute every parameter-derived conv kernel for SERVING.
+
+    The phase/packed/composed conv formulations derive kernels from raw
+    params with chains of small batch-size-independent ops — a measured
+    ~64 ms fixed cost per forward at 384x1280 (tools/probe_trainmode.py).
+    For fixed-parameter serving, run this ONCE at the serving input shapes
+    (the packing factors depend on widths) and pass the returned variables
+    to ``apply``: the derivations become program inputs and vanish from the
+    per-batch program.  Entries with mismatched shapes (other resolutions)
+    are ignored by the modules, so a stale cache degrades to inline builds,
+    never to wrong results (``ops/blocks.derived_kernel``).
+
+    The example inputs may use batch 1 regardless of the serving batch.
+    """
+    collect = jax.jit(lambda v, *a: model.apply(
+        v, *a, train=False, mutable=['kernel_cache'], **apply_kwargs)[1])
+    mutated = collect(variables, *example_inputs)
+    out = dict(variables)
+    out['kernel_cache'] = mutated['kernel_cache']
+    return out

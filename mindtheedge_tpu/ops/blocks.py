@@ -30,6 +30,37 @@ from mindtheedge_tpu.ops.phase_conv import (
 _xavier = nn.initializers.xavier_uniform()
 
 
+def derived_kernel(module, name, shape, dtype, builder):
+    """A parameter-derived constant tensor (expanded / composed conv kernel).
+
+    The phase/packed/composed conv formulations derive their kernels from
+    the raw parameters with chains of small einsum/pad/concat ops.  Those
+    chains are BATCH-SIZE INDEPENDENT and re-run inside every forward —
+    measured as a ~64 ms fixed cost per program at 384x1280 (b3 fwd 75 ms vs
+    b8 94 ms, tools/probe_trainmode.py).  For serving (fixed params),
+    ``models.packnet.prepare_kernel_cache`` runs ONE forward with
+    ``mutable=['kernel_cache']`` to collect every derived kernel; passing
+    the collection back into ``apply`` turns them into program inputs and
+    the derivation chains vanish.  Training builds inline (params change
+    every step).  A cache entry whose shape/dtype doesn't match the current
+    call (other resolution/precision than prepared for) is ignored.
+    """
+    shape = tuple(shape)
+    if module.has_variable('kernel_cache', name):
+        val = module.get_variable('kernel_cache', name)
+        if tuple(val.shape) == shape and val.dtype == dtype:
+            return val
+    val = builder()
+    assert tuple(val.shape) == shape and val.dtype == dtype, \
+        f'{name}: built {val.shape}/{val.dtype}, declared {shape}/{dtype}'
+    # never populate during module.init (where every collection is mutable):
+    # initialized variable trees must stay cache-free
+    if module.is_mutable_collection('kernel_cache') \
+            and not module.is_initializing():
+        module.put_variable('kernel_cache', name, val)
+    return val
+
+
 class GroupNorm(nn.Module):
     """GroupNorm with exact torch semantics (contiguous channel groups,
     per-(sample, group) statistics over (H, W, C/G), eps 1e-5, fp32 stats).
@@ -185,12 +216,15 @@ class ConvBlock(nn.Module):
         # relayout (ResidualConv, the SAN ladder).
         rin, rkeep = self.packed_input_w, self.keep_packed_w
         pads = [(p, p), (p, p)]
+        k_sz, co = self.kernel_size, self.out_channels
         if rin:
             assert self.stride == 1 and not self.phase_pack
             assert rkeep in (0, rin), 'packed in/out factors must match'
-            kernel = expand_kernel_packed_w(kernel, rin)
+            t0, kt = packed_w_conv_geometry(k_sz, rin)
+            kernel = derived_kernel(
+                self, f'packed_w{rin}', (k_sz, kt, cin * rin, co * rin),
+                kernel.dtype, lambda: expand_kernel_packed_w(kernel, rin))
             bias = jnp.repeat(bias, rin)
-            t0, kt = packed_w_conv_geometry(self.kernel_size, rin)
             pads = [(p, p), (-t0, kt - 1 + t0)]
             strides = (1, 1)
             rw = rin
@@ -205,12 +239,16 @@ class ConvBlock(nn.Module):
                 rw = 0 if rw == 1 else rw
             if self.phase_pack:
                 assert self.stride == 1, 'phase_pack requires stride 1'
-                kernel = expand_kernel_phase2(kernel)
+                kernel = derived_kernel(
+                    self, 'phase2', (k_sz + 1, k_sz + 1, cin, 4 * co),
+                    kernel.dtype, lambda: expand_kernel_phase2(kernel))
                 bias = jnp.repeat(bias, 4)
                 strides = (2, 2)
             elif rw:
                 assert self.stride == 1
-                kernel = expand_kernel_phase(kernel, 1, rw)
+                kernel = derived_kernel(
+                    self, f'phase_w{rw}', (k_sz, k_sz + rw - 1, cin, co * rw),
+                    kernel.dtype, lambda: expand_kernel_phase(kernel, 1, rw))
                 bias = jnp.repeat(bias, rw)
                 strides = (1, rw)
             else:
@@ -232,11 +270,18 @@ class ConvBlock(nn.Module):
             if self.auto_lane_pack else 1
         y = None
         off = 0
-        for t in parts:
-            ks = kernel[:, :, off:off + t.shape[-1], :]
-            off += t.shape[-1]
+        k_sz, co = self.kernel_size, self.out_channels
+        for i, t in enumerate(parts):
+            ci_p, off0 = t.shape[-1], off
+            off += ci_p
             if rw > 1:
-                ks = expand_kernel_phase(ks, 1, rw)
+                ks = derived_kernel(
+                    self, f'split{i}_w{rw}',
+                    (k_sz, k_sz + rw - 1, ci_p, co * rw), kernel.dtype,
+                    lambda: expand_kernel_phase(
+                        kernel[:, :, off0:off0 + ci_p, :], 1, rw))
+            else:
+                ks = kernel[:, :, off0:off0 + ci_p, :]
             yi = jax.lax.conv_general_dilated(
                 t, ks, (1, rw), [(p, p), (p, p)],
                 dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
@@ -284,9 +329,11 @@ class ResidualConv(nn.Module):
                           name='conv2')(y)
             k1, b1 = _ConvParams(C, 1, name='conv3')(x.shape[-1])
             xs, k1, b1 = promote_dtype(x, k1, b1, dtype=None)
+            k1e = derived_kernel(
+                self, f'shortcut_w{rw}', (1, rw, x.shape[-1], C * rw),
+                k1.dtype, lambda: expand_kernel_phase(k1, 1, rw))
             shortcut = checkpoint_name(jax.lax.conv_general_dilated(
-                xs, expand_kernel_phase(k1, 1, rw), (1, rw),
-                [(0, 0), (0, 0)],
+                xs, k1e, (1, rw), [(0, 0), (0, 0)],
                 dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
                 + jnp.repeat(b1, rw), 'conv_out')
             if self.dropout:
@@ -372,9 +419,12 @@ class InvDepthHead(nn.Module):
                 kernel, bias = _ConvParams(self.out_channels, 3,
                                            name='conv1')(x.shape[-1])
                 x, kernel, bias = promote_dtype(x, kernel, bias, dtype=None)
+                ke = derived_kernel(
+                    self, f'head_w{rw}',
+                    (3, 2 + rw, x.shape[-1], self.out_channels * rw),
+                    kernel.dtype, lambda: expand_kernel_phase(kernel, 1, rw))
                 y = jax.lax.conv_general_dilated(
-                    x, expand_kernel_phase(kernel, 1, rw), (1, rw),
-                    [(1, 1), (1, 1)],
+                    x, ke, (1, rw), [(1, 1), (1, 1)],
                     dimension_numbers=('NHWC', 'HWIO', 'NHWC')) \
                     + jnp.repeat(bias, rw)
                 return unpack_w(nn.sigmoid(y) / self.min_depth, rw)
@@ -456,11 +506,12 @@ class Conv3dOverChannels(nn.Module):
     def __call__(self, x):
         kernel = self.param('kernel', _xavier, (3, 3, 3, 1, self.d), jnp.float32)
         bias = self.param('bias', nn.initializers.zeros, (self.d,), jnp.float32)
+        g = x.shape[-1]
         if self.spatial_axis is not None:
             from mindtheedge_tpu.parallel.spatial import (
                 halo_exchange_h, spec_hw)
             h_ax, w_ax = spec_hw(self.spatial_axis)
-            k2 = _conv3d_tridiag_kernel(kernel.astype(x.dtype), x.shape[-1])
+            k2 = _conv3d_tridiag_kernel(kernel.astype(x.dtype), g)
             xh = halo_exchange_h(x, 1, self.spatial_axis)
             y = jax.lax.conv_general_dilated(
                 xh, k2, (1, 1),
@@ -468,8 +519,13 @@ class Conv3dOverChannels(nn.Module):
                  (0, 0) if w_ax is not None else (1, 1)],
                 dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
         else:
-            y = _conv3d_over_channels(x, kernel.astype(x.dtype))
-        return y + jnp.repeat(bias, x.shape[-1]).astype(y.dtype)
+            k2 = derived_kernel(
+                self, 'tridiag', (3, 3, g, self.d * g), x.dtype,
+                lambda: _conv3d_tridiag_kernel(kernel.astype(x.dtype), g))
+            y = jax.lax.conv_general_dilated(
+                x, k2, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        return y + jnp.repeat(bias, g).astype(y.dtype)
 
 
 def _compose_pack_kernel(k3, kernel2, d):
@@ -539,7 +595,12 @@ class _PackConvBlock(nn.Module):
         dn = ('NHWC', 'HWIO', 'NHWC')
 
         def strip_pipe(xs):
-            y1 = _conv3d_over_channels(xs, k3) + jnp.repeat(b3, D)
+            k2 = derived_kernel(
+                self, 'tridiag', (3, 3, D, self.d * D), kernel.dtype,
+                lambda: _conv3d_tridiag_kernel(k3, D).astype(kernel.dtype))
+            y1 = jax.lax.conv_general_dilated(
+                xs, k2, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=dn) + jnp.repeat(b3, D)
             return jax.lax.conv_general_dilated(
                 y1, kernel, (1, 1), [(p, p), (p, p)],
                 dimension_numbers=dn) + bias
@@ -579,12 +640,19 @@ class _PackConvBlock(nn.Module):
             # model A/Bs.)
             y = strip_pipe(x)
         else:
-            Kc = _compose_pack_kernel(k3, kernel, self.d)
+            rw = _lane_pack_width(C, w)
+            kc_shape = (k + 2, k + 2, D, C) if rw == 1 else \
+                (k + 2, k + 1 + rw, D, C * rw)
+
+            def build_kc():
+                Kc = _compose_pack_kernel(k3, kernel, self.d)
+                return Kc if rw == 1 else expand_kernel_phase(Kc, 1, rw)
+
+            Kc = derived_kernel(self, f'composed_w{rw}', kc_shape,
+                                kernel.dtype, build_kc)
             cbias = bias + jnp.einsum(
                 'abfzc,f->c', kernel.reshape(k, k, self.d, D, C), b3)
-            rw = _lane_pack_width(C, w)
             if rw > 1:
-                Kc = expand_kernel_phase(Kc, 1, rw)
                 cbias = jnp.repeat(cbias, rw)
             y = checkpoint_name(jax.lax.conv_general_dilated(
                 x, Kc, (1, rw), [(p + 1, p + 1), (p + 1, p + 1)],

@@ -348,19 +348,27 @@ class MinkConvBlock(nn.Module):
             # HBM/batch when materialized).  Conv inputs are zero at
             # inactive sites by the same invariant (pool/BN outputs).
             from jax.ad_checkpoint import checkpoint_name
+            from mindtheedge_tpu.ops.blocks import derived_kernel
 
-            def conv_packed(xp, kern):
+            def conv_packed(xp, kern, cache_name):
                 """packed input -> packed output sparse conv (no bias)."""
-                kp = expand_kernel_packed_w(kern, rw).astype(xp.dtype)
                 t0, kt = packed_w_conv_geometry(k, rw)
+                ci_k, co_k = kern.shape[2], kern.shape[3]
+                kp = derived_kernel(
+                    self, cache_name, (k, kt, ci_k * rw, co_k * rw), xp.dtype,
+                    lambda: expand_kernel_packed_w(kern, rw).astype(xp.dtype))
                 return checkpoint_name(jax.lax.conv_general_dilated(
                     xp, kp, (1, 1), [(p, p), (-t0, kt - 1 + t0)],
                     dimension_numbers=('NHWC', 'HWIO', 'NHWC')), 'conv_out')
 
-            kf = expand_kernel_phase(
-                jnp.concatenate([k1, k2, k3], axis=-1), 1, rw)
+            kf = derived_kernel(
+                self, f'fused_w{rw}', (k, k + rw - 1, cin, 5 * c * rw),
+                x.dtype,
+                lambda: expand_kernel_phase(
+                    jnp.concatenate([k1, k2, k3], axis=-1), 1, rw
+                ).astype(x.dtype))
             fused = checkpoint_name(jax.lax.conv_general_dilated(
-                x, kf.astype(x.dtype), (1, rw), [(p, p), (p, p)],
+                x, kf, (1, rw), [(p, p), (p, p)],
                 dimension_numbers=('NHWC', 'HWIO', 'NHWC')), 'conv_out')
             x1 = fused[..., :c * rw]
             x2 = fused[..., c * rw:3 * c * rw]
@@ -370,18 +378,21 @@ class MinkConvBlock(nn.Module):
                                  name='layer2_bn0')(x2, mp, train)
             x2 = nn.relu(x2)
             x2 = conv_packed(
-                x2, _SparseConvKernel(c, k, name='layer2_1')(2 * c))
+                x2, _SparseConvKernel(c, k, name='layer2_1')(2 * c),
+                'layer2_1_packed')
 
             x3 = MaskedBatchNorm(channel_repeat=rw,
                                  name='layer3_bn0')(x3, mp, train)
             x3 = nn.relu(x3)
             x3 = conv_packed(
-                x3, _SparseConvKernel(2 * c, k, name='layer3_1')(2 * c))
+                x3, _SparseConvKernel(2 * c, k, name='layer3_1')(2 * c),
+                'layer3_1_packed')
             x3 = MaskedBatchNorm(channel_repeat=rw,
                                  name='layer3_bn1')(x3, mp, train)
             x3 = nn.relu(x3)
             x3 = conv_packed(
-                x3, _SparseConvKernel(c, k, name='layer3_2')(2 * c))
+                x3, _SparseConvKernel(c, k, name='layer3_2')(2 * c),
+                'layer3_2_packed')
 
             y = MaskedBatchNorm(channel_repeat=rw,
                                 name='final_bn')(x1 + x2 + x3, mp, train)

@@ -40,6 +40,11 @@ def main():
     v = jax.jit(lambda k, r, d: model.init(k, r, d, train=False))(key, small, small_d)
     v = jax.tree_util.tree_map(
         lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, v)
+    if '--cache' in sys.argv:
+        from mindtheedge_tpu.models.packnet import prepare_kernel_cache
+        v = prepare_kernel_cache(model, v, rgb[:1], lidar[:1])
+        print(f"kernel cache: "
+              f"{len(jax.tree_util.tree_leaves(v['kernel_cache']))} entries")
 
     def looped(v_, r, d):
         def body(i, acc):
