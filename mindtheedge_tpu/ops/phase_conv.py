@@ -113,3 +113,53 @@ def expand_kernel_packed_w(kernel, rw):
     # [kh, kt, ci, dxi, co, dxo] -> [kh, kt, ci*rw, co*rw]
     kp = jnp.einsum('tiod,adbc->atbico', sel, kernel)
     return kp.reshape(kh, kt, ci * rw, co * rw)
+
+
+def packed2d_conv_geometry(k, r):
+    """Per-axis (t0, kt) tap range of the pack2d-domain conv (axis length k,
+    phase factor r)."""
+    p = k // 2
+    t0 = -((p + r - 1) // r)
+    t1 = (k - 1 - p + r - 1) // r
+    return t0, t1 - t0 + 1
+
+
+def expand_kernel_packed_2d(kernel, r=2):
+    """[kh,kw,ci,co] -> [kt_h, kt_w, ci*r*r, co*r*r]: stride-1 SAME conv
+    expressed ENTIRELY in the pack2d (space-to-depth, r x r) domain — both
+    input and output carry the pack2d channel order c*r*r + dy*r + dx
+    (``ops/packing.pack2d``), so whole decoder levels can run on the
+    half-res grid with 4x the channels and ZERO depth-to-space relayouts.
+
+        conv(X2, K2, stride 1, pad (-t0h, kt_h-1+t0h) x (-t0w, ...))
+            == pack2d(conv(x, K, SAME), r)   for X2 = pack2d(x, r)
+
+    Same derivation as ``expand_kernel_packed_w`` applied per axis: tap
+    (th, tw) holds K[dh, dw] with dh = (th + t0h)*r + dyi - dyo + p (and
+    likewise dw), zero outside [0, k).  FLOP inflation kt_h*kt_w*r^2/k^2
+    (4x for k=3, r=2), paid on idle MXU lanes.
+    """
+    import numpy as np
+    kh, kw, ci, co = kernel.shape
+    assert kh == kw, 'square kernels only'
+    k = kh
+    p = k // 2
+    t0, kt = packed2d_conv_geometry(k, r)
+    sel = np.zeros((kt, r, r, kt, r, r, k, k), np.float32)
+    # [th, dyi, dyo, tw, dxi, dxo, dh, dw]
+    for th in range(kt):
+        for dyi in range(r):
+            for dyo in range(r):
+                dh = (th + t0) * r + dyi - dyo + p
+                if not 0 <= dh < k:
+                    continue
+                for tw in range(kt):
+                    for dxi in range(r):
+                        for dxo in range(r):
+                            dw = (tw + t0) * r + dxi - dxo + p
+                            if 0 <= dw < k:
+                                sel[th, dyi, dyo, tw, dxi, dxo, dh, dw] = 1.0
+    sel = jnp.asarray(sel, kernel.dtype)
+    # -> [th, tw, ci, dyi, dxi, co, dyo, dxo] -> [kt, kt, ci*r^2, co*r^2]
+    kp = jnp.einsum('hyYwxXab,abic->hwiyxcYX', sel, kernel)
+    return kp.reshape(kt, kt, ci * r * r, co * r * r)

@@ -47,3 +47,25 @@ def test_packed_domain_conv_matches_plain(kw, rw):
                 pad=[(kw // 2, kw // 2), (-t0, kt - 1 + t0)])
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize('kw', [1, 3, 5])
+def test_packed2d_domain_conv_matches_plain(kw):
+    """Stride-1 SAME conv in the pack2d domain == pack2d(conv(x))."""
+    from mindtheedge_tpu.ops.phase_conv import (
+        expand_kernel_packed_2d, packed2d_conv_geometry)
+    from mindtheedge_tpu.ops.packing import pack2d
+
+    rng = np.random.RandomState(kw)
+    B, H, W, CI, CO = 2, 8, 12, 3, 5
+    x = jnp.asarray(rng.randn(B, H, W, CI).astype(np.float32))
+    k = jnp.asarray(rng.randn(kw, kw, CI, CO).astype(np.float32))
+
+    want = pack2d(_conv(x, k), 2)
+
+    k2 = expand_kernel_packed_2d(k, 2)
+    t0, kt = packed2d_conv_geometry(kw, 2)
+    pad = (-t0, kt - 1 + t0)
+    got = _conv(pack2d(x, 2), k2, pad=[pad, pad])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

@@ -58,7 +58,10 @@ def main():
     except Exception:
         pass
 
-    B, H, W = 3, 384, 1280
+    import argparse
+    ap = argparse.ArgumentParser(); ap.add_argument('--batch', type=int, default=3)
+    B = ap.parse_args().batch
+    H, W = 384, 1280
     cfg = paper_cfg()
     task = build_task(cfg)
     batch = paper_batch(B, H, W)
