@@ -226,9 +226,11 @@ def _bench_end_to_end(ctx, batch):
 def main():
     _setup_cache()
     dev_ips = e2e_ips = None
-    # device batch 16 measured ~12% over 8; the link-bound e2e loop prefers
-    # batch 8 (finer transfer granularity overlaps better on the relay)
-    for dev_batch, e2e_batch in ((16, 8), (8, 8), (4, 4), (2, 2), (1, 1)):
+    # device batch 16 measured ~12% over 8 (b32 tried first, OOM falls
+    # through); the link-bound e2e loop prefers batch 8 (finer transfer
+    # granularity overlaps better on the relay)
+    for dev_batch, e2e_batch in ((32, 8), (16, 8), (8, 8), (4, 4), (2, 2),
+                                 (1, 1)):
         try:
             dev_ips = _bench_device(_build(dev_batch, 'bf16'), dev_batch)
             e2e_ips = _bench_end_to_end(_build(e2e_batch, 'bf16'), e2e_batch)

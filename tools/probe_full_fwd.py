@@ -25,7 +25,9 @@ def main():
     except Exception:
         pass
 
-    B, H, W = 8, 384, 1280
+    B = int(sys.argv[sys.argv.index('--batch') + 1]) \
+        if '--batch' in sys.argv else 8
+    H, W = 384, 1280
     dtype = jnp.bfloat16
     rng = np.random.RandomState(0)
     key = jax.random.PRNGKey(0)
