@@ -304,18 +304,23 @@ class ResidualConv(nn.Module):
     stride: int = 1
     dropout: Optional[float] = None
     auto_lane_pack: bool = True
+    packed_input_w: int = 0     # input arrives W-phase-packed (this factor)
+    keep_packed_w: int = 0      # emit W-packed output (skip the unpack)
     spatial_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.spatial_axis is not None:
             assert self.stride == 1, 'spatial sharding: stride-1 blocks only'
-        rw = 0
-        if (self.auto_lane_pack and self.spatial_axis is None
+        rin, rkeep = self.packed_input_w, self.keep_packed_w
+        rw = rin or rkeep
+        if (not rw and self.auto_lane_pack and self.spatial_axis is None
                 and self.stride == 1
                 and not isinstance(x, (list, tuple))):
             rw = _lane_pack_width(self.out_channels, x.shape[2])
             rw = 0 if rw == 1 else rw
+        if rin:
+            assert rkeep in (0, rin), 'packed in/out factors must match'
         if rw:
             # Packed-domain block: conv1 emits W-packed, conv2 consumes and
             # emits packed, the 1x1 shortcut emits packed, and the sum + GN +
@@ -324,16 +329,26 @@ class ResidualConv(nn.Module):
             # round-trips that made this block ~4 GB of HBM traffic vs the
             # ~1.1 GB minimum (tools/probe_overhead.py).
             C = self.out_channels
-            y = ConvBlock(C, 3, 1, keep_packed_w=rw, name='conv1')(x)
+            cin = x.shape[-1] // (rin or 1)
+            y = ConvBlock(C, 3, 1, packed_input_w=rin, keep_packed_w=rw,
+                          name='conv1')(x)
             y = ConvBlock(C, 3, 1, packed_input_w=rw, keep_packed_w=rw,
                           name='conv2')(y)
-            k1, b1 = _ConvParams(C, 1, name='conv3')(x.shape[-1])
+            k1, b1 = _ConvParams(C, 1, name='conv3')(cin)
             xs, k1, b1 = promote_dtype(x, k1, b1, dtype=None)
-            k1e = derived_kernel(
-                self, f'shortcut_w{rw}', (1, rw, x.shape[-1], C * rw),
-                k1.dtype, lambda: expand_kernel_phase(k1, 1, rw))
+            if rin:
+                # 1x1 conv in the packed domain: kt=1, no padding
+                k1e = derived_kernel(
+                    self, f'shortcut_p{rw}', (1, 1, cin * rw, C * rw),
+                    k1.dtype, lambda: expand_kernel_packed_w(k1, rw))
+                sc_strides, sc_pads = (1, 1), [(0, 0), (0, 0)]
+            else:
+                k1e = derived_kernel(
+                    self, f'shortcut_w{rw}', (1, rw, cin, C * rw),
+                    k1.dtype, lambda: expand_kernel_phase(k1, 1, rw))
+                sc_strides, sc_pads = (1, rw), [(0, 0), (0, 0)]
             shortcut = checkpoint_name(jax.lax.conv_general_dilated(
-                xs, k1e, (1, rw), [(0, 0), (0, 0)],
+                xs, k1e, sc_strides, sc_pads,
                 dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
                 + jnp.repeat(b1, rw), 'conv_out')
             if self.dropout:
@@ -348,7 +363,8 @@ class ResidualConv(nn.Module):
                 shortcut = shortcut * jnp.repeat(factor, rw, axis=-1)
             out = GroupNorm(num_groups=16, epsilon=1e-5, channel_repeat=rw,
                             name='norm')(y + shortcut)
-            return unpack_w(nn.elu(out), rw)
+            out = nn.elu(out)
+            return out if rkeep else unpack_w(out, rw)
         y = ConvBlock(self.out_channels, 3, self.stride,
                       spatial_axis=self.spatial_axis, name='conv1')(x)
         y = ConvBlock(self.out_channels, 3, 1,
@@ -377,13 +393,24 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # chain the W-packed layout ACROSS blocks: block0 emits packed, the
+        # rest consume and emit packed, one unpack at the stack exit
+        rw = 0
+        if (self.auto_lane_pack and self.spatial_axis is None
+                and self.stride == 1 and not isinstance(x, (list, tuple))):
+            rw = _lane_pack_width(self.out_channels, x.shape[2])
+            rw = 0 if rw == 1 else rw
+        n = self.num_blocks
         x = ResidualConv(self.out_channels, self.stride, self.dropout,
                          auto_lane_pack=self.auto_lane_pack,
+                         keep_packed_w=rw if n > 1 else 0,
                          spatial_axis=self.spatial_axis,
                          name='block0')(x, train)
-        for i in range(1, self.num_blocks):
+        for i in range(1, n):
             x = ResidualConv(self.out_channels, 1, self.dropout,
                              auto_lane_pack=self.auto_lane_pack,
+                             packed_input_w=rw,
+                             keep_packed_w=rw if i < n - 1 else 0,
                              spatial_axis=self.spatial_axis,
                              name=f'block{i}')(x, train)
         return x
