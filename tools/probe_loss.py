@@ -71,23 +71,13 @@ def main():
 
     res = {}
 
-    def fwd(b_):
-        def f(v_, bb):
-            loss, _ = task.train_loss(v_, bb, key, 0.0)
-            return loss.astype(jnp.float32)
-        return f
+    def fwd_full(v_, bb):
+        loss, _ = task.train_loss(v_, bb, key, 0.0)
+        return loss.astype(jnp.float32)
 
-    res['train_fwd rgb-only'] = bench(fwd(None), (variables, batch_rgb))
+    res['train_fwd rgb-only'] = bench(fwd_full, (variables, batch_rgb))
 
     # edge loss off: pure supervised
-    import copy
-    task2 = copy.copy(task)
-    task2.depth_edges_loss_weight = 0.0
-    task2.all_scales_edge = False
-
-    class NoEdge(type(task)):
-        pass
-
     def fwd_noedge(v_, bb):
         out, _ = task.run_depth(v_, bb, train=True, rng=key)
         sup = task._supervised(out['inv_depths'], bb['depth'])
