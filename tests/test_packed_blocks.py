@@ -136,3 +136,24 @@ def test_packed_invdepth_head_matches_plain(co, w):
     want = nn.sigmoid(y) / 0.5
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_packed_chained_block3_with_dropout_matches_unpacked():
+    """3-block ResidualBlock (the conv4/conv5 shape) chains packed across
+    blocks incl. the packed-domain 1x1 shortcut; with dropout active the
+    per-block rng streams still line up with the unpacked path."""
+    rng = np.random.RandomState(4)
+    x = _x(rng, (1, 8, 16, 64))
+    packed = ResidualBlock(64, 3, dropout=0.5)
+    plain = ResidualBlock(64, 3, dropout=0.5, auto_lane_pack=False)
+    v = plain.init(jax.random.PRNGKey(0), x, False)
+    vp = packed.init(jax.random.PRNGKey(0), x, False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(vp)
+
+    np.testing.assert_allclose(
+        np.asarray(packed.apply(v, x, False)),
+        np.asarray(plain.apply(v, x, False)), rtol=1e-4, atol=1e-5)
+    dk = {'dropout': jax.random.PRNGKey(9)}
+    np.testing.assert_allclose(
+        np.asarray(packed.apply(v, x, True, rngs=dk)),
+        np.asarray(plain.apply(v, x, True, rngs=dk)), rtol=1e-4, atol=1e-5)
