@@ -266,6 +266,8 @@ class ConvBlock(nn.Module):
 
     def _split_conv(self, parts, kernel, bias, p):
         """conv(concat(parts)) as summed kernel-sliced convs (no concat)."""
+        assert not self.keep_packed_w, \
+            'keep_packed_w is not supported for list inputs'
         rw = _lane_pack_width(self.out_channels, parts[0].shape[2]) \
             if self.auto_lane_pack else 1
         y = None
