@@ -68,3 +68,30 @@ def test_golden_auc_regression():
     assert res['recall'][-1] == pytest.approx(GOLDEN_RECALL_LAST, abs=1e-3)
     # the sweep must be threshold-sensitive (guards a degenerate pipeline)
     assert res['recall'][0] - res['recall'][-1] > 0.3
+
+
+def test_eval_depth_edges_cli_main(tmp_path, capsys):
+    """The standalone CLI (reference root ``eval_depth_edges.py:377-416``):
+    list plumbing + pr_evaluation + both AUC prints, on 2 KITTI-DE frames."""
+    from mindtheedge_tpu.cli.eval_depth_edges import main
+
+    gt_names = sorted(os.listdir(GT_DIR))[:2]
+    pred_dir = tmp_path / 'preds'
+    pred_dir.mkdir()
+    pred_list = _make_synthetic_preds(
+        [os.path.join(GT_DIR, n) for n in gt_names], str(pred_dir))
+    (tmp_path / 'pred_list.txt').write_text(
+        '\n'.join(os.path.basename(p) for p in pred_list) + '\n')
+    (tmp_path / 'gt_list.txt').write_text('\n'.join(gt_names) + '\n')
+
+    main(['--depth_pred_list_path', str(tmp_path / 'pred_list.txt'),
+          '--depth_pred_dir_path', str(pred_dir),
+          '--depth_edge_gt_list_path', str(tmp_path / 'gt_list.txt'),
+          '--depth_edge_gt_dir_path', GT_DIR,
+          '--temp_save_path', str(tmp_path / 'tmp_out'),
+          '--num_workers', '2'])
+    out = capsys.readouterr().out
+    full = float(out.split('AUC over all range: ')[1].split('\n')[0])
+    partial = float(out.split('AUC over partial range: ')[1].split('\n')[0])
+    assert 0.0 < full < 1.0 and 0.0 < partial <= 1.0
+    assert partial >= full - 1e-9   # partial range can only raise mean recall
