@@ -86,6 +86,7 @@ class PackNetDecoder(nn.Module):
     out_channels: int = 1
     version: str = 'A'
     channels: tuple = SLIM_CHANNELS
+    packed2d: bool = True      # run iconvs in the pack2d domain (version A)
     spatial_axis: Optional[str] = None
 
     @nn.compact
@@ -95,42 +96,58 @@ class PackNetDecoder(nn.Module):
         skip1, skip2, skip3, skip4, skip5 = skips
         # version A concatenates skips; the iconv ConvBlocks take the parts as
         # a LIST and run kernel-sliced convs summed — same math, no
-        # materialized concat (ops/blocks.py ConvBlock docstring).
+        # materialized concat (ops/blocks.py ConvBlock docstring).  In the
+        # unsharded version-A path the unpack layers additionally skip their
+        # depth-to-space and the iconvs convolve the main input in the
+        # pack2d DOMAIN (ops/phase_conv.expand_kernel_packed_2d) — exact
+        # same math, no relayout, full 128-lane convs.
         cat = (lambda a, b: [a, b]) if self.version == 'A' \
             else (lambda a, b: [a + b])
+        p2d = self.packed2d and self.version == 'A' and sp is None
+        marks = (0,) if p2d else ()
 
         unpack5 = UnpackLayerConv3d(N5, UNPACK_KERNEL[0], d=NUM_3D_FEAT,
+                                    emit_packed2d=p2d,
                                     spatial_axis=sp, name='unpack5')(x5p)
         iconv5 = ConvBlock(N5, ICONV_KERNEL[0], 1, spatial_axis=sp,
+                           packed2d_parts=marks,
                            name='iconv5')(cat(unpack5, skip5))
 
         unpack4 = UnpackLayerConv3d(N4, UNPACK_KERNEL[1], d=NUM_3D_FEAT,
+                                    emit_packed2d=p2d,
                                     spatial_axis=sp, name='unpack4')(iconv5)
         iconv4 = ConvBlock(N4, ICONV_KERNEL[1], 1, spatial_axis=sp,
+                           packed2d_parts=marks,
                            name='iconv4')(cat(unpack4, skip4))
         inv_depth4 = InvDepthHead(self.out_channels, spatial_axis=sp,
                                   name='disp4_layer')(iconv4)
         up4 = upsample_nearest2x(inv_depth4)
 
         unpack3 = UnpackLayerConv3d(N3, UNPACK_KERNEL[2], d=NUM_3D_FEAT,
+                                    emit_packed2d=p2d,
                                     spatial_axis=sp, name='unpack3')(iconv4)
         iconv3 = ConvBlock(N3, ICONV_KERNEL[2], 1, spatial_axis=sp,
+                           packed2d_parts=marks,
                            name='iconv3')(cat(unpack3, skip3) + [up4])
         inv_depth3 = InvDepthHead(self.out_channels, spatial_axis=sp,
                                   name='disp3_layer')(iconv3)
         up3 = upsample_nearest2x(inv_depth3)
 
         unpack2 = UnpackLayerConv3d(N2, UNPACK_KERNEL[3], d=NUM_3D_FEAT,
+                                    emit_packed2d=p2d,
                                     spatial_axis=sp, name='unpack2')(iconv3)
         iconv2 = ConvBlock(N2, ICONV_KERNEL[3], 1, spatial_axis=sp,
+                           packed2d_parts=marks,
                            name='iconv2')(cat(unpack2, skip2) + [up3])
         inv_depth2 = InvDepthHead(self.out_channels, spatial_axis=sp,
                                   name='disp2_layer')(iconv2)
         up2 = upsample_nearest2x(inv_depth2)
 
         unpack1 = UnpackLayerConv3d(N1, UNPACK_KERNEL[4], d=NUM_3D_FEAT,
+                                    emit_packed2d=p2d,
                                     spatial_axis=sp, name='unpack1')(iconv2)
         iconv1 = ConvBlock(N1, ICONV_KERNEL[4], 1, spatial_axis=sp,
+                           packed2d_parts=marks,
                            name='iconv1')(cat(unpack1, skip1) + [up2])
         inv_depth1 = InvDepthHead(self.out_channels, spatial_axis=sp,
                                   name='disp1_layer')(iconv1)

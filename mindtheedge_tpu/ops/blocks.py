@@ -24,8 +24,9 @@ from jax.ad_checkpoint import checkpoint_name
 
 from mindtheedge_tpu.ops.packing import pack2d, unpack2d
 from mindtheedge_tpu.ops.phase_conv import (
-    expand_kernel_phase, expand_kernel_phase2, expand_kernel_packed_w,
-    packed_w_conv_geometry, unpack_w)
+    expand_kernel_phase, expand_kernel_phase2, expand_kernel_packed_2d,
+    expand_kernel_packed_w, packed2d_conv_geometry, packed_w_conv_geometry,
+    unpack_w)
 
 _xavier = nn.initializers.xavier_uniform()
 
@@ -159,12 +160,17 @@ class ConvBlock(nn.Module):
     auto_lane_pack: bool = True    # W-phase-pack narrow convs internally
     packed_input_w: int = 0        # input arrives W-phase-packed (this factor)
     keep_packed_w: int = 0         # emit W-packed output (skip the unpack)
+    packed2d_parts: tuple = ()     # list-input parts arriving in pack2d layout
     spatial_axis: Optional[str] = None   # H-sharded mode (parallel/spatial.py)
 
     @nn.compact
     def __call__(self, x):
         parts = list(x) if isinstance(x, (list, tuple)) else None
-        cin = sum(t.shape[-1] for t in parts) if parts else x.shape[-1]
+        if parts is not None:
+            cin = sum(t.shape[-1] // (4 if i in self.packed2d_parts else 1)
+                      for i, t in enumerate(parts))
+        else:
+            cin = x.shape[-1]
         if self.packed_input_w:
             assert parts is None, 'packed input must be a single tensor'
             cin //= self.packed_input_w   # params live per ORIGINAL channel
@@ -174,6 +180,10 @@ class ConvBlock(nn.Module):
         if parts is not None:
             pr = promote_dtype(*parts, kernel, bias, dtype=None)
             parts, kernel, bias = list(pr[:-2]), pr[-2], pr[-1]
+            if self.packed2d_parts:
+                assert self.spatial_axis is None and not self.phase_pack \
+                    and self.stride == 1
+                return self._split_conv_2d(parts, kernel, bias, p)
             if self.spatial_axis is None and not self.phase_pack \
                     and self.stride == 1 and len(parts) > 1:
                 return self._split_conv(parts, kernel, bias, p)
@@ -263,6 +273,52 @@ class ConvBlock(nn.Module):
         if rw and not rkeep:
             x = unpack_w(x, rw)
         return x
+
+    def _split_conv_2d(self, parts, kernel, bias, p):
+        """conv(concat(parts)) computed ON THE PACK2D GRID: parts listed in
+        ``packed2d_parts`` arrive as [B,h,w,ci*4] pack2d-layout tensors of a
+        virtual [B,2h,2w,ci] image (an UnpackLayerConv3d that skipped its
+        depth-to-space), the rest at full res [B,2h,2w,ci].  Packed parts
+        convolve with the pack2d-domain kernel
+        (``ops/phase_conv.expand_kernel_packed_2d``), full-res parts with
+        the stride-(2,2) phase kernel — both emit the SAME pack2d layout on
+        the half-res grid, so the decoder's iconv runs at full 128-lane
+        width with no depth-to-space relayout on its main input.  One
+        unpack2d at the block exit.  Exact same math and parameter tree.
+        """
+        k_sz, co = self.kernel_size, self.out_channels
+        t0, kt = packed2d_conv_geometry(k_sz, 2)
+        y = None
+        off = 0
+        for i, t in enumerate(parts):
+            packed = i in self.packed2d_parts
+            ci_p = t.shape[-1] // (4 if packed else 1)
+            off0 = off
+            off += ci_p
+            if packed:
+                ks = derived_kernel(
+                    self, f'split2d{i}', (kt, kt, ci_p * 4, co * 4),
+                    kernel.dtype,
+                    lambda: expand_kernel_packed_2d(
+                        kernel[:, :, off0:off0 + ci_p, :], 2))
+                strides = (1, 1)
+                pads = [(-t0, kt - 1 + t0)] * 2
+            else:
+                ks = derived_kernel(
+                    self, f'splitph2_{i}', (k_sz + 1, k_sz + 1, ci_p, co * 4),
+                    kernel.dtype,
+                    lambda: expand_kernel_phase(
+                        kernel[:, :, off0:off0 + ci_p, :], 2, 2))
+                strides = (2, 2)
+                pads = [(p, p)] * 2
+            yi = jax.lax.conv_general_dilated(
+                t, ks, strides, pads,
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+            y = yi if y is None else y + yi
+        y = checkpoint_name(y + jnp.repeat(bias, 4), 'conv_out')
+        y = GroupNorm(num_groups=16, epsilon=1e-5, channel_repeat=4,
+                      name='norm')(y)
+        return unpack2d(nn.elu(y), 2)
 
     def _split_conv(self, parts, kernel, bias, p):
         """conv(concat(parts)) as summed kernel-sliced convs (no concat)."""
@@ -732,12 +788,16 @@ class PackLayerConv3d(nn.Module):
 class UnpackLayerConv3d(nn.Module):
     """ConvBlock to out*r^2/d -> 3D conv(1->d) -> PixelShuffle(r).
 
-    Reference ``layers01.py:251-287``.
+    Reference ``layers01.py:251-287``.  ``emit_packed2d=True`` skips the
+    depth-to-space: the output stays in pack2d layout (exactly
+    ``pack2d(unpack2d(y)) == y``) for a consumer that convolves in the
+    pack2d domain (``ConvBlock.packed2d_parts`` — the decoder's iconvs).
     """
     out_channels: int
     kernel_size: int
     r: int = 2
     d: int = 8
+    emit_packed2d: bool = False
     spatial_axis: Optional[str] = None
 
     @nn.compact
@@ -747,4 +807,7 @@ class UnpackLayerConv3d(nn.Module):
                       spatial_axis=self.spatial_axis, name='conv')(x)
         x = Conv3dOverChannels(self.d, spatial_axis=self.spatial_axis,
                                name='conv3d')(x)
+        if self.emit_packed2d:
+            assert self.spatial_axis is None and self.r == 2
+            return x                 # pack2d layout of the unpacked tensor
         return unpack2d(x, self.r)   # shard-local depth-to-space

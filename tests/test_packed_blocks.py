@@ -157,3 +157,56 @@ def test_packed_chained_block3_with_dropout_matches_unpacked():
     np.testing.assert_allclose(
         np.asarray(packed.apply(v, x, True, rngs=dk)),
         np.asarray(plain.apply(v, x, True, rngs=dk)), rtol=1e-4, atol=1e-5)
+
+
+def test_packed2d_split_conv_matches_plain():
+    """ConvBlock with a pack2d-layout part (packed2d_parts) == the plain
+    list ConvBlock fed the depth-to-space'd part."""
+    from mindtheedge_tpu.ops.packing import pack2d, unpack2d
+
+    rng = np.random.RandomState(5)
+    h, w = 6, 10
+    main2d = _x(rng, (2, h, w, 4 * 24))           # pack2d of [2,2h,2w,24]
+    skip = _x(rng, (2, 2 * h, 2 * w, 8))
+    up = _x(rng, (2, 2 * h, 2 * w, 1))
+
+    packed = ConvBlock(32, 3, 1, packed2d_parts=(0,))
+    plain = ConvBlock(32, 3, 1)
+    v = plain.init(jax.random.PRNGKey(0), [unpack2d(main2d, 2), skip, up])
+    vp = packed.init(jax.random.PRNGKey(0), [main2d, skip, up])
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(vp)
+    for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(v)[0],
+            jax.tree_util.tree_flatten_with_path(vp)[0]):
+        assert a.shape == b.shape, jax.tree_util.keystr(kp)
+
+    out_plain = plain.apply(v, [unpack2d(main2d, 2), skip, up])
+    out_packed = packed.apply(v, [main2d, skip, up])
+    np.testing.assert_allclose(np.asarray(out_packed), np.asarray(out_plain),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_packed2d_decoder_matches_plain():
+    """The full pack2d-domain decoder == the depth-to-space decoder with the
+    same params (PackNetSlim01-shaped inputs)."""
+    from mindtheedge_tpu.models.packnet import PackNetDecoder, SLIM_CHANNELS
+
+    rng = np.random.RandomState(6)
+    slim = (16,) * 6
+    H, W = 64, 96
+    x5p = _x(rng, (1, H // 32, W // 32, slim[5]))
+    skips = [_x(rng, (1, H, W, slim[0]))] + [
+        _x(rng, (1, H >> s, W >> s, slim[s])) for s in range(1, 5)]
+
+    plain = PackNetDecoder(out_channels=1, version='A', channels=slim,
+                           packed2d=False)
+    packed = PackNetDecoder(out_channels=1, version='A', channels=slim)
+    v = plain.init(jax.random.PRNGKey(0), x5p, skips)
+    vp = packed.init(jax.random.PRNGKey(0), x5p, skips)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(vp)
+
+    out_plain = plain.apply(v, x5p, skips)
+    out_packed = packed.apply(v, x5p, skips)
+    for s, (a, b) in enumerate(zip(out_plain, out_packed)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5, err_msg=f'scale {s}')
