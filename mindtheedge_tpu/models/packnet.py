@@ -90,7 +90,7 @@ class PackNetDecoder(nn.Module):
     spatial_axis: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x5p, skips):
+    def __call__(self, x5p, skips, train: bool = False):
         NI, N1, N2, N3, N4, N5 = self.channels
         sp = self.spatial_axis
         skip1, skip2, skip3, skip4, skip5 = skips
@@ -103,7 +103,12 @@ class PackNetDecoder(nn.Module):
         # same math, no relayout, full 128-lane convs.
         cat = (lambda a, b: [a, b]) if self.version == 'A' \
             else (lambda a, b: [a + b])
-        p2d = self.packed2d and self.version == 'A' and sp is None
+        # the pack2d-domain iconvs and the W-packed disp heads are
+        # EVAL-ONLY: their kernel expansions inflate backward FLOPs (wgrad
+        # runs over the expanded taps) — fwd+bwd measured 237 -> 383 ms with
+        # them on (tools/profile_train.py); the forward win is a serving win
+        p2d = self.packed2d and self.version == 'A' and sp is None \
+            and not train
         marks = (0,) if p2d else ()
 
         unpack5 = UnpackLayerConv3d(N5, UNPACK_KERNEL[0], d=NUM_3D_FEAT,
@@ -120,6 +125,7 @@ class PackNetDecoder(nn.Module):
                            packed2d_parts=marks,
                            name='iconv4')(cat(unpack4, skip4))
         inv_depth4 = InvDepthHead(self.out_channels, spatial_axis=sp,
+                                  lane_pack=not train,
                                   name='disp4_layer')(iconv4)
         up4 = upsample_nearest2x(inv_depth4)
 
@@ -130,6 +136,7 @@ class PackNetDecoder(nn.Module):
                            packed2d_parts=marks,
                            name='iconv3')(cat(unpack3, skip3) + [up4])
         inv_depth3 = InvDepthHead(self.out_channels, spatial_axis=sp,
+                                  lane_pack=not train,
                                   name='disp3_layer')(iconv3)
         up3 = upsample_nearest2x(inv_depth3)
 
@@ -140,6 +147,7 @@ class PackNetDecoder(nn.Module):
                            packed2d_parts=marks,
                            name='iconv2')(cat(unpack2, skip2) + [up3])
         inv_depth2 = InvDepthHead(self.out_channels, spatial_axis=sp,
+                                  lane_pack=not train,
                                   name='disp2_layer')(iconv2)
         up2 = upsample_nearest2x(inv_depth2)
 
@@ -150,6 +158,7 @@ class PackNetDecoder(nn.Module):
                            packed2d_parts=marks,
                            name='iconv1')(cat(unpack1, skip1) + [up2])
         inv_depth1 = InvDepthHead(self.out_channels, spatial_axis=sp,
+                                  lane_pack=not train,
                                   name='disp1_layer')(iconv1)
 
         return [inv_depth1, inv_depth2, inv_depth3, inv_depth4]
@@ -192,7 +201,8 @@ class PackNetSAN(nn.Module):
                 'conv_out')
         Enc = nn.remat(PackNetSlimEncoder, static_argnums=(2,), **kw) \
             if self.remat else PackNetSlimEncoder
-        Dec = nn.remat(PackNetDecoder, **kw) if self.remat else PackNetDecoder
+        Dec = nn.remat(PackNetDecoder, static_argnums=(3,), **kw) \
+            if self.remat else PackNetDecoder
         self.encoder = Enc(dropout=self.dropout, channels=self.channels,
                            spatial_axis=self.spatial_axis)
         self.decoder = Dec(out_channels=self.output_channels,
@@ -215,7 +225,7 @@ class PackNetSAN(nn.Module):
             for i in range(4):
                 skips[i + 1] = skips[i + 1] * w[i] + san[i] + b[i]
             x5p = x5p * w[4] + san[4] + b[4]
-        inv_depths = self.decoder(x5p, skips)
+        inv_depths = self.decoder(x5p, skips, train)
         return inv_depths, skips + [x5p]
 
     def __call__(self, rgb, input_depth=None, rgb_edge=None, train=False, **kwargs):
@@ -264,7 +274,7 @@ class PackNet01(nn.Module):
         inv_depths = PackNetDecoder(
             out_channels=1, version=self.version[1:] or 'A',
             channels=self.channels, spatial_axis=self.spatial_axis,
-            name='decoder')(x5p, skips)
+            name='decoder')(x5p, skips, train)
         return {'inv_depths': inv_depths}
 
 

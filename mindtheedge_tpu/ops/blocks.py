@@ -452,9 +452,12 @@ class ResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         # chain the W-packed layout ACROSS blocks: block0 emits packed, the
-        # rest consume and emit packed, one unpack at the stack exit
+        # rest consume and emit packed, one unpack at the stack exit.
+        # EVAL-ONLY: chaining through the packed-domain kernels inflates the
+        # backward's wgrad FLOPs (tools/profile_train.py); training uses the
+        # per-block path (each block still packs internally).
         rw = 0
-        if (self.auto_lane_pack and self.spatial_axis is None
+        if (not train and self.auto_lane_pack and self.spatial_axis is None
                 and self.stride == 1 and not isinstance(x, (list, tuple))):
             rw = _lane_pack_width(self.out_channels, x.shape[2])
             rw = 0 if rw == 1 else rw
@@ -484,6 +487,7 @@ class InvDepthHead(nn.Module):
     """
     out_channels: int = 1
     min_depth: float = 0.5
+    lane_pack: bool = True     # eval-only caller gate (bwd FLOP inflation)
     spatial_axis: Optional[str] = None
 
     @nn.compact
@@ -496,7 +500,7 @@ class InvDepthHead(nn.Module):
             x = halo_exchange_h(x, 1, self.spatial_axis)
             pad_h = (0, 0) if h_ax is not None else pad_h
             pad_w = (0, 0) if w_ax is not None else pad_w
-        elif self.out_channels < 64:
+        elif self.lane_pack and self.out_channels < 64:
             rw = 128 // self.out_channels
             while rw > 1 and x.shape[2] % rw != 0:
                 rw //= 2
