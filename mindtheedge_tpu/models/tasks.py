@@ -199,13 +199,22 @@ class BaseTask:
             kwargs = {k: cast(v) for k, v in kwargs.items()}
             variables = dict(variables)
             variables['depth'] = jax.tree_util.tree_map(cast, variables['depth'])
-        if train:
+        # flip_lr_prob is a static config value: at 0 the flip machinery is
+        # elided from the traced program entirely (jnp.where would otherwise
+        # evaluate both branches and the p=0 bernoulli+select stays in the
+        # HLO — measured as dead weight in tools/probe_b8_ablate.py)
+        if train and self.flip_lr_prob > 0:
             flip = jax.random.bernoulli(rng, self.flip_lr_prob)
+        elif not train and force_flip:
+            flip = jnp.asarray(True)
         else:
-            flip = jnp.asarray(bool(force_flip))
+            flip = None
 
-        rgb_in = _maybe_flip(rgb, flip)
-        kwargs_in = {k: _maybe_flip(v, flip) for k, v in kwargs.items()}
+        if flip is None:
+            rgb_in, kwargs_in = rgb, kwargs
+        else:
+            rgb_in = _maybe_flip(rgb, flip)
+            kwargs_in = {k: _maybe_flip(v, flip) for k, v in kwargs.items()}
 
         dvars = variables['depth']
         if train:
@@ -224,8 +233,8 @@ class BaseTask:
         # always runs fp32
         for key in ('inv_depths', 'inv_depths_rgbd'):
             if key in out:
-                out[key] = [_maybe_flip(d, flip).astype(jnp.float32)
-                            for d in out[key]]
+                out[key] = [(d if flip is None else _maybe_flip(d, flip))
+                            .astype(jnp.float32) for d in out[key]]
         if 'depth_loss' in out:
             out['depth_loss'] = out['depth_loss'].astype(jnp.float32)
         if train and self.upsample_depth_maps:
@@ -373,7 +382,14 @@ class SemiSupCompletionTask(SemiSupTask):
 @register_task('SemiSupEdgeModel')
 class SemiSupEdgeTask(SemiSupTask):
     """The paper's training model (``SemiSupEdgeModel.py:98-162``):
-    loss = (1-w)*selfsup + w*supervised + edge_w * GradLoss(all scales)."""
+    loss = (1-w)*selfsup + w*supervised + edge_w * GradLoss(all scales).
+
+    The edge term is gated on ``edges.train_depth_edges``, the same flag the
+    reference uses to attach the loss head (``model_wrapper.py:657``).
+    Divergence, documented: with the flag off the reference crashes at train
+    time (``edge_loss_head`` was never attached); here the term is statically
+    elided from the traced program and ``edge_loss`` reports 0.
+    """
 
     input_keys = ('rgb', 'input_depth', 'rgb_edge')
 
@@ -386,16 +402,18 @@ class SemiSupEdgeTask(SemiSupTask):
             loss, metrics = self._self_sup_loss(variables, batch, out, progress)
             loss = (1.0 - self.supervised_loss_weight) * loss
 
-        seg_mask = batch.get('rgb_edge')
-        edge = self._edge_loss_all_scales(
-            out['inv_depths'], batch, seg_mask,
-            is_grad=True, is_sigmoid=True, sigmoid_thresh=4.0)
+        if self.edge_cfg.train_depth_edges:
+            seg_mask = batch.get('rgb_edge')
+            edge = self._edge_loss_all_scales(
+                out['inv_depths'], batch, seg_mask,
+                is_grad=True, is_sigmoid=True, sigmoid_thresh=4.0)
+            edge = self.depth_edges_loss_weight * edge
+        else:
+            edge = jnp.asarray(0.0)
 
         sup = self._supervised(out['inv_depths'], batch['depth'])
         supervised = self.supervised_loss_weight * sup
-        loss = loss + supervised
-        edge = self.depth_edges_loss_weight * edge
-        loss = loss + edge
+        loss = loss + supervised + edge
         metrics = dict(metrics, edge_loss=edge, supervised_loss=supervised,
                        loss=loss)
         return loss, (metrics, out, new_stats)
@@ -419,19 +437,24 @@ class SemiSupEdgeCompletionTask(SemiSupEdgeTask):
             loss = (1.0 - self.supervised_loss_weight) * loss
 
         seg_mask = batch.get('rgb_edge')
-        edge = self._edge_loss_all_scales(
-            out['inv_depths'], batch, seg_mask,
-            is_grad=True, is_sigmoid=True, sigmoid_thresh=4.0)
-        edge = self.depth_edges_loss_weight * edge
+        train_edges = self.edge_cfg.train_depth_edges  # see SemiSupEdgeTask
+        if train_edges:
+            edge = self._edge_loss_all_scales(
+                out['inv_depths'], batch, seg_mask,
+                is_grad=True, is_sigmoid=True, sigmoid_thresh=4.0)
+            edge = self.depth_edges_loss_weight * edge
+        else:
+            edge = jnp.asarray(0.0)
 
         sup = self._supervised(out['inv_depths'], batch['depth'])
         supervised = self.supervised_loss_weight * sup / 2.0
 
         edge_lidar = jnp.asarray(0.0)   # divergence: defined even w/o lidar
-        if 'inv_depths_rgbd' in out:
+        if 'inv_depths_rgbd' in out and train_edges:
             edge_lidar = self._edge_loss_all_scales(
                 out['inv_depths_rgbd'], batch, seg_mask,
                 is_grad=True, is_sigmoid=True, sigmoid_thresh=4.0)
+        if 'inv_depths_rgbd' in out:
             sup2 = self._supervised(out['inv_depths_rgbd'], batch['depth'])
             supervised = supervised + \
                 self.weight_rgbd * self.supervised_loss_weight * sup2 / 2.0

@@ -288,6 +288,9 @@ class ConvBlock(nn.Module):
         """
         k_sz, co = self.kernel_size, self.out_channels
         t0, kt = packed2d_conv_geometry(k_sz, 2)
+        # cache names carry the slice offset: two same-shape parts at
+        # different kernel offsets must never share a derived-kernel entry
+        # (the shape/dtype check alone cannot tell them apart)
         y = None
         off = 0
         for i, t in enumerate(parts):
@@ -297,7 +300,7 @@ class ConvBlock(nn.Module):
             off += ci_p
             if packed:
                 ks = derived_kernel(
-                    self, f'split2d{i}', (kt, kt, ci_p * 4, co * 4),
+                    self, f'split2d{i}_o{off0}', (kt, kt, ci_p * 4, co * 4),
                     kernel.dtype,
                     lambda: expand_kernel_packed_2d(
                         kernel[:, :, off0:off0 + ci_p, :], 2))
@@ -305,7 +308,7 @@ class ConvBlock(nn.Module):
                 pads = [(-t0, kt - 1 + t0)] * 2
             else:
                 ks = derived_kernel(
-                    self, f'splitph2_{i}', (k_sz + 1, k_sz + 1, ci_p, co * 4),
+                    self, f'splitph2_{i}_o{off0}', (k_sz + 1, k_sz + 1, ci_p, co * 4),
                     kernel.dtype,
                     lambda: expand_kernel_phase(
                         kernel[:, :, off0:off0 + ci_p, :], 2, 2))
@@ -334,7 +337,7 @@ class ConvBlock(nn.Module):
             off += ci_p
             if rw > 1:
                 ks = derived_kernel(
-                    self, f'split{i}_w{rw}',
+                    self, f'split{i}_o{off0}_w{rw}',
                     (k_sz, k_sz + rw - 1, ci_p, co * rw), kernel.dtype,
                     lambda: expand_kernel_phase(
                         kernel[:, :, off0:off0 + ci_p, :], 1, rw))

@@ -351,13 +351,18 @@ class Experiment:
                     sums[k] = sums.get(k, 0.0) + float(val)
             if log_edges and 'edge' in batch:
                 # chamfer edge P/R/F1 (model_wrapper.py:376-442); DEE models
-                # threshold probabilities, depth models Canny the depth
-                pred = result['inv_depth_pp'][0, ..., 0] if is_dee \
-                    else result['depth_pp'][0, ..., 0]
-                vals = compute_edge_metrics(
-                    np.asarray(pred), np.asarray(batch['edge'][0, ..., 0]),
-                    is_probability=is_dee, gt_crop=gt_crop0)
-                for name, val in zip(EDGE_METRIC_NAMES, vals):
+                # threshold probabilities, depth models Canny the depth.
+                # Every sample in the batch is scored (the reference's
+                # per-sample loop sees each one); the batch mean enters the
+                # same count-weighted running sum as the depth metrics.
+                preds = np.asarray(result['inv_depth_pp'][..., 0] if is_dee
+                                   else result['depth_pp'][..., 0])
+                gts = np.asarray(batch['edge'][..., 0])
+                per_sample = [compute_edge_metrics(
+                    preds[i], gts[i], is_probability=is_dee, gt_crop=gt_crop0)
+                    for i in range(preds.shape[0])]
+                for name, val in zip(EDGE_METRIC_NAMES,
+                                     np.mean(per_sample, axis=0)):
                     k = f'edges/{name}'
                     sums[k] = sums.get(k, 0.0) + float(val)
             count += 1

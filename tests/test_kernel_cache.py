@@ -60,3 +60,31 @@ def test_stale_cache_ignored():
         v, rgb2, lid2)
     np.testing.assert_array_equal(np.asarray(with_stale['inv_depths'][0]),
                                   np.asarray(without['inv_depths'][0]))
+
+
+def test_same_shape_parts_get_distinct_cache_entries():
+    """Two list-input parts with IDENTICAL shapes slice the kernel at
+    different input-channel offsets; their derived-kernel cache entries must
+    not collide (names carry the offset — a shape/dtype check alone cannot
+    distinguish them)."""
+    from mindtheedge_tpu.ops.blocks import ConvBlock
+
+    rng = np.random.RandomState(0)
+    # out=1 forces a large lane-pack rw in _split_conv -> derived kernels
+    blk = ConvBlock(out_channels=16, kernel_size=3, auto_lane_pack=True)
+    t1 = jnp.asarray(rng.rand(1, 16, 8, 16).astype(np.float32))
+    t2 = jnp.asarray(rng.rand(1, 16, 8, 16).astype(np.float32))
+    v = blk.init(jax.random.PRNGKey(0), [t1, t2])
+
+    out, mut = blk.apply(v, [t1, t2], mutable=['kernel_cache'])
+    cache = mut.get('kernel_cache', {})
+    if not cache:    # lane pack may not trigger at this geometry
+        pytest.skip('no derived kernels at this geometry')
+    names = sorted(cache)
+    assert len(names) == len(set(names)) and len(names) >= 2
+    # offsets present and distinct across the two parts
+    offs = {n.split('_o')[1].split('_')[0] for n in names if '_o' in n}
+    assert len(offs) >= 2, names
+    # the two same-shape entries hold different values (different slices)
+    vals = [np.asarray(cache[n]) for n in names]
+    assert not np.array_equal(vals[0], vals[1])

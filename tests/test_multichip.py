@@ -122,3 +122,51 @@ def test_validate_reduces_across_processes(monkeypatch):
     # every sum and the count doubled -> mean unchanged at 3.0
     assert all(abs(v - 3.0) < 1e-9 for v in means.values()) and means
     assert any(not avg for _, avg in calls)
+
+
+def test_validate_edge_metrics_cover_whole_batch(monkeypatch):
+    """Chamfer edge P/R/F1 scores EVERY sample of a val batch, not sample 0
+    (the reference's per-sample loop, model_wrapper.py:376-442; the F1 feeds
+    checkpoint filenames, so undersampling it silently skews model selection).
+    """
+    from mindtheedge_tpu.training import experiment as E
+    from mindtheedge_tpu.evaluation import edge_metrics as EM
+
+    seen = []
+
+    def fake_edge_metrics(pred, gt, is_probability=False, gt_crop=None):
+        seen.append(float(pred.mean()))
+        # P, R, F1 proportional to the sample id so the mean is checkable
+        return [float(pred.mean())] * len(EM.EDGE_METRIC_NAMES)
+
+    monkeypatch.setattr(E, 'jax', jax)
+    monkeypatch.setattr(jax, 'process_count', lambda: 1)
+
+    exp = E.Experiment.__new__(E.Experiment)
+    exp.config = type('C', (), {})()
+    exp.config.model = type('M', (), {'name': 'SemiSupEdgeModel'})()
+    exp.config.edges = type('E2', (), {'depth_edges_metric_log': True})()
+    ds = type('D', (), {})()
+    ds.validation = type('V', (), {'gt_crop': None})()
+    exp.config.datasets = ds
+
+    B, H, W = 2, 8, 8
+    # sample i's depth_pp is constant i+1 -> per-sample metric i+1, mean 1.5
+    depth_pp = np.stack([np.full((H, W, 1), i + 1.0) for i in range(B)])
+    batch = {'edge': np.zeros((B, H, W, 1), np.float32),
+             'rgb': np.zeros((B, H, W, 3), np.float32)}
+    exp.val_loader = [batch]
+    monkeypatch.setattr(
+        E.Experiment, 'evaluate_depth',
+        lambda self, b: {'metrics': {'depth': np.full(7, 3.0)},
+                         'inv_depth_pp': depth_pp, 'depth': depth_pp,
+                         'depth_pp': depth_pp})
+    monkeypatch.setattr(EM, 'compute_edge_metrics', fake_edge_metrics)
+    # experiment.py imports the symbol inside validate(); patch the module
+    import mindtheedge_tpu.evaluation.edge_metrics as em_mod
+    monkeypatch.setattr(em_mod, 'compute_edge_metrics', fake_edge_metrics)
+
+    means = exp.validate()
+    assert len(seen) == B, f'scored {len(seen)} samples, want {B}'
+    for name in EM.EDGE_METRIC_NAMES:
+        assert abs(means[f'edges/{name}'] - 1.5) < 1e-9

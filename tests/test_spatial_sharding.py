@@ -176,6 +176,7 @@ def _train_step_parity(mesh, n_data=1):
     cfg.model.loss.supervised_num_scales = 1
     cfg.model.loss.supervised_loss_weight = 1.0
     cfg.model.loss.edges_depth_edge_loss_all_scales = True
+    cfg.edges.train_depth_edges = True
     cfg.model.loss.upsample_depth_maps = False
     cfg.model.loss.flip_lr_prob = 0.0   # keep the compare deterministic
     cfg = prepare_config(cfg)

@@ -1,16 +1,21 @@
-"""Bisect the (real, reproducible) b8 train-fwd loss-stack gap by config knob.
+"""Bisect the b8 train-fwd loss-stack gap by config knob.
 
-``tools/probe_b8_gap.py`` pinned the gap at 53 ms (fwd_loss 162.0 vs bare
-train apply 109.0 ms, A/B/A/B stable to 0.1 ms) — vs only ~5.6 ms at b3.
-The earlier full bisect probe OOM'd at b8; this one instead toggles one
-config knob at a time and re-times the SAME ``task.train_loss`` program:
+``tools/probe_b8_gap.py`` decomposes the gap into (second RGBD forward) vs
+(loss stack) with a 4-program A/B; this probe then toggles one config knob at
+a time and re-times the SAME ``task.train_loss`` program:
 
-  full      — paper config anchor (cached from probe_b8_gap)
-  noflip    — ``flip_lr_prob = 0`` (drops the lax.cond lr-flip wrapper)
-  noedge    — ``train_depth_edges = False`` (drops the 4-scale GradLoss/BCE
-              edge stack; pure sparse-silog supervision remains)
+  full      — paper config anchor
+  noflip    — ``flip_lr_prob = 0``; the flip wrapper is now statically
+              elided at trace time when the prob is 0 (tasks.run_depth), so
+              this toggle genuinely removes the flip+select work
+  noedge    — ``train_depth_edges = False``; SemiSupEdgeTask now consumes
+              this flag (the same gate the reference applies at
+              model_wrapper.py:657), so the 4-scale GradLoss/BCE edge stack
+              really drops out of the traced program
+  nolidar   — strip ``input_depth`` from the batch (single RGB forward,
+              no SAN ladder — isolates the double-forward cost)
 
-Whichever toggle recovers the 53 ms is the culprit.  Run serially on the
+Whichever toggle recovers the gap is the culprit.  Run serially on the
 TPU: ``python tools/probe_b8_ablate.py [--batch 8]``.
 """
 
@@ -45,18 +50,19 @@ def main():
     batch = paper_batch(B, 384, 1280)
     key = jax.random.PRNGKey(0)
 
-    def variant(name, mutate):
+    def variant(name, mutate, batch_=None):
         cfg = paper_cfg()
         mutate(cfg)
         task = build_task(cfg)
-        variables = jax.jit(task.init)(key, batch)
+        b = batch if batch_ is None else batch_
+        variables = jax.jit(task.init)(key, batch)  # same param tree always
 
-        def fwd_loss(batch_, variables_):
-            loss, _ = task.train_loss(variables_, batch_, key, 0.0)
+        def fwd_loss(b_, variables_):
+            loss, _ = task.train_loss(variables_, b_, key, 0.0)
             return loss.astype(jnp.float32)
 
         print(f'compiling {name}...', flush=True)
-        run = make_timer(fwd_loss, (batch, variables))
+        run = make_timer(fwd_loss, (b, variables))
         dt = run()
         print(f'  {name:8s} {dt * 1e3:8.1f} ms  ({B / dt:6.1f} img/s)', flush=True)
         return dt
@@ -70,6 +76,9 @@ def main():
         cfg.edges.train_depth_edges = False
 
     res['noedge'] = variant('noedge', no_edge)
+    res['nolidar'] = variant(
+        'nolidar', lambda cfg: None,
+        batch_={k: v for k, v in batch.items() if k != 'input_depth'})
 
     print(f'\nb{B} 384x1280 bf16 fwd_loss ablation (K=30):')
     for k, dt in res.items():

@@ -78,32 +78,59 @@ def main():
     key = jax.random.PRNGKey(0)
     variables = jax.jit(task.init)(key, batch)
 
-    # A: full task train_loss forward (double fwd + loss stack)
-    def fwd_loss(batch_, variables_):
+    # The paper batch carries input_depth, so task.train_loss runs the
+    # train-with-lidar DOUBLE forward (RGB pass + RGBD+SAN pass,
+    # packnet.py).  The round-4 b3 baseline (tools/probe_loss.py) compared
+    # against an RGB-only batch — so the decomposition here times FOUR
+    # programs so the "gap" splits into (second forward) vs (loss stack):
+    #   A_rgbd  task.train_loss on the full batch   (double fwd + loss)
+    #   A_rgb   task.train_loss w/o input_depth     (single fwd + loss)
+    #   B_rgbd  bare model.apply(rgb, lidar)        (double fwd)
+    #   B_rgb   bare model.apply(rgb)               (single fwd)
+    batch_rgb = {k: v for k, v in batch.items() if k != 'input_depth'}
+
+    def fwd_loss_rgbd(batch_, variables_):
         loss, _ = task.train_loss(variables_, batch_, key, 0.0)
         return loss.astype(jnp.float32)
 
-    # B: bare depth-net train-mode apply on the same rgb
+    def fwd_loss_rgb(batch_, variables_):
+        loss, _ = task.train_loss(variables_, batch_, key, 0.0)
+        return loss.astype(jnp.float32)
+
     model = task.depth_net
     params, rest = split_variables(variables)
     mv = {'params': params['depth']}
     if 'depth' in rest:
         mv['batch_stats'] = rest['depth']
 
-    def bare(rgb, mv_):
+    def bare_rgb(rgb, mv_):
         out, _ = model.apply(mv_, rgb, train=True, rngs={'dropout': key},
                              mutable=['batch_stats'])
         return out['inv_depths'][0].astype(jnp.float32).mean()
 
-    print('compiling A (fwd_loss)...', flush=True)
-    run_a = make_timer(fwd_loss, (batch, variables))
-    print('compiling B (bare train apply)...', flush=True)
-    run_b = make_timer(bare, (batch['rgb'].astype(jnp.bfloat16), mv))
+    def bare_rgbd(rgb, mv_, lidar):
+        out, _ = model.apply(mv_, rgb, train=True, rngs={'dropout': key},
+                             mutable=['batch_stats'], input_depth=lidar)
+        s = out['inv_depths'][0].astype(jnp.float32).mean()
+        if 'inv_depths_rgbd' in out:
+            s = s + out['inv_depths_rgbd'][0].astype(jnp.float32).mean()
+        return s
+
+    rgb_bf16 = batch['rgb'].astype(jnp.bfloat16)
+    lidar_bf16 = batch['input_depth'].astype(jnp.bfloat16)
+    timers = []
+    for name, fn, a in (
+            ('A_rgbd fwd_loss+lidar', fwd_loss_rgbd, (batch, variables)),
+            ('A_rgb  fwd_loss      ', fwd_loss_rgb, (batch_rgb, variables)),
+            ('B_rgbd bare double   ', bare_rgbd, (rgb_bf16, mv, lidar_bf16)),
+            ('B_rgb  bare single   ', bare_rgb, (rgb_bf16, mv))):
+        print(f'compiling {name.strip()}...', flush=True)
+        timers.append((name, make_timer(fn, a)))
 
     rows = []
-    for tag in ('1', '2'):
-        rows.append((f'A{tag} fwd_loss', run_a()))
-        rows.append((f'B{tag} bare    ', run_b()))
+    for tag in ('1', '2'):   # alternating so relay drift shows as A1 != A2
+        for name, run in timers:
+            rows.append((f'{name} #{tag}', run()))
     print(f'b{B} 384x1280 bf16, alternating (K={K}):')
     for name, dt in rows:
         print(f'  {name} {dt * 1e3:8.1f} ms  ({B / dt:6.1f} img/s)')
