@@ -103,12 +103,16 @@ class PackNetDecoder(nn.Module):
         # same math, no relayout, full 128-lane convs.
         cat = (lambda a, b: [a, b]) if self.version == 'A' \
             else (lambda a, b: [a + b])
-        # the pack2d-domain iconvs and the W-packed disp heads are
-        # EVAL-ONLY: their kernel expansions inflate backward FLOPs (wgrad
-        # runs over the expanded taps) — fwd+bwd measured 237 -> 383 ms with
-        # them on (tools/profile_train.py); the forward win is a serving win
+        # the pack2d-domain iconvs and the W-packed disp heads inflate the
+        # backward's wgrad when autodiff correlates at the expanded taps
+        # (fwd+bwd measured 237 -> 383 ms in round 4); with the compact-
+        # kernel custom VJP (ops/dualgrad.py) the backward runs at compact
+        # size and they re-enter the train graph.  MTE_TRAIN_PACKED=0
+        # restores the eval-only gating for A/B measurement.
+        from mindtheedge_tpu.ops import dualgrad
         p2d = self.packed2d and self.version == 'A' and sp is None \
-            and not train
+            and (not train or dualgrad.train_packed_enabled())
+        head_pack = not train or dualgrad.train_packed_enabled()
         marks = (0,) if p2d else ()
 
         unpack5 = UnpackLayerConv3d(N5, UNPACK_KERNEL[0], d=NUM_3D_FEAT,
@@ -125,7 +129,7 @@ class PackNetDecoder(nn.Module):
                            packed2d_parts=marks,
                            name='iconv4')(cat(unpack4, skip4))
         inv_depth4 = InvDepthHead(self.out_channels, spatial_axis=sp,
-                                  lane_pack=not train,
+                                  lane_pack=head_pack,
                                   name='disp4_layer')(iconv4)
         up4 = upsample_nearest2x(inv_depth4)
 
@@ -136,7 +140,7 @@ class PackNetDecoder(nn.Module):
                            packed2d_parts=marks,
                            name='iconv3')(cat(unpack3, skip3) + [up4])
         inv_depth3 = InvDepthHead(self.out_channels, spatial_axis=sp,
-                                  lane_pack=not train,
+                                  lane_pack=head_pack,
                                   name='disp3_layer')(iconv3)
         up3 = upsample_nearest2x(inv_depth3)
 
@@ -147,7 +151,7 @@ class PackNetDecoder(nn.Module):
                            packed2d_parts=marks,
                            name='iconv2')(cat(unpack2, skip2) + [up3])
         inv_depth2 = InvDepthHead(self.out_channels, spatial_axis=sp,
-                                  lane_pack=not train,
+                                  lane_pack=head_pack,
                                   name='disp2_layer')(iconv2)
         up2 = upsample_nearest2x(inv_depth2)
 
@@ -158,7 +162,7 @@ class PackNetDecoder(nn.Module):
                            packed2d_parts=marks,
                            name='iconv1')(cat(unpack1, skip1) + [up2])
         inv_depth1 = InvDepthHead(self.out_channels, spatial_axis=sp,
-                                  lane_pack=not train,
+                                  lane_pack=head_pack,
                                   name='disp1_layer')(iconv1)
 
         return [inv_depth1, inv_depth2, inv_depth3, inv_depth4]

@@ -27,8 +27,17 @@ from mindtheedge_tpu.ops.phase_conv import (
     expand_kernel_phase, expand_kernel_phase2, expand_kernel_packed_2d,
     expand_kernel_packed_w, packed2d_conv_geometry, packed_w_conv_geometry,
     unpack_w)
+from mindtheedge_tpu.ops import dualgrad
 
 _xavier = nn.initializers.xavier_uniform()
+
+
+def _kernel_cached(module, name):
+    """True when the serving kernel cache serves (or is collecting) this
+    derived kernel — the no-autodiff path.  Training (no cache) routes the
+    packed convs through ``ops/dualgrad.py`` for compact-kernel backwards."""
+    return (module.has_variable('kernel_cache', name)
+            or module.is_mutable_collection('kernel_cache'))
 
 
 def derived_kernel(module, name, shape, dtype, builder):
@@ -227,16 +236,25 @@ class ConvBlock(nn.Module):
         rin, rkeep = self.packed_input_w, self.keep_packed_w
         pads = [(p, p), (p, p)]
         k_sz, co = self.kernel_size, self.out_channels
+        # Every packed formulation has two grad paths: with a kernel cache
+        # (serving) the expanded kernel is a program input and autodiff never
+        # runs; without one (training) the conv routes through
+        # ops/dualgrad.py so the backward correlates at the COMPACT kernel
+        # size instead of the expanded taps (wgrad FLOP inflation up to 8x).
         if rin:
             assert self.stride == 1 and not self.phase_pack
             assert rkeep in (0, rin), 'packed in/out factors must match'
-            t0, kt = packed_w_conv_geometry(k_sz, rin)
-            kernel = derived_kernel(
-                self, f'packed_w{rin}', (k_sz, kt, cin * rin, co * rin),
-                kernel.dtype, lambda: expand_kernel_packed_w(kernel, rin))
+            if _kernel_cached(self, f'packed_w{rin}'):
+                t0, kt = packed_w_conv_geometry(k_sz, rin)
+                ke = derived_kernel(
+                    self, f'packed_w{rin}', (k_sz, kt, cin * rin, co * rin),
+                    kernel.dtype, lambda: expand_kernel_packed_w(kernel, rin))
+                y = jax.lax.conv_general_dilated(
+                    x, ke, (1, 1), [(p, p), (-t0, kt - 1 + t0)],
+                    dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+            else:
+                y = dualgrad.conv_packed_w(x, kernel, rin)
             bias = jnp.repeat(bias, rin)
-            pads = [(p, p), (-t0, kt - 1 + t0)]
-            strides = (1, 1)
             rw = rin
         else:
             rw = rkeep
@@ -249,23 +267,35 @@ class ConvBlock(nn.Module):
                 rw = 0 if rw == 1 else rw
             if self.phase_pack:
                 assert self.stride == 1, 'phase_pack requires stride 1'
-                kernel = derived_kernel(
-                    self, 'phase2', (k_sz + 1, k_sz + 1, cin, 4 * co),
-                    kernel.dtype, lambda: expand_kernel_phase2(kernel))
+                if _kernel_cached(self, 'phase2'):
+                    ke = derived_kernel(
+                        self, 'phase2', (k_sz + 1, k_sz + 1, cin, 4 * co),
+                        kernel.dtype, lambda: expand_kernel_phase2(kernel))
+                    y = jax.lax.conv_general_dilated(
+                        x, ke, (2, 2), pads,
+                        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+                else:
+                    y = dualgrad.conv_phase(x, kernel, 2, 2)
                 bias = jnp.repeat(bias, 4)
-                strides = (2, 2)
             elif rw:
                 assert self.stride == 1
-                kernel = derived_kernel(
-                    self, f'phase_w{rw}', (k_sz, k_sz + rw - 1, cin, co * rw),
-                    kernel.dtype, lambda: expand_kernel_phase(kernel, 1, rw))
+                if _kernel_cached(self, f'phase_w{rw}'):
+                    ke = derived_kernel(
+                        self, f'phase_w{rw}',
+                        (k_sz, k_sz + rw - 1, cin, co * rw),
+                        kernel.dtype,
+                        lambda: expand_kernel_phase(kernel, 1, rw))
+                    y = jax.lax.conv_general_dilated(
+                        x, ke, (1, rw), pads,
+                        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+                else:
+                    y = dualgrad.conv_phase(x, kernel, 1, rw)
                 bias = jnp.repeat(bias, rw)
-                strides = (1, rw)
             else:
-                strides = (self.stride, self.stride)
-        x = checkpoint_name(jax.lax.conv_general_dilated(
-            x, kernel, strides, pads,
-            dimension_numbers=('NHWC', 'HWIO', 'NHWC')) + bias, 'conv_out')
+                y = jax.lax.conv_general_dilated(
+                    x, kernel, (self.stride, self.stride), pads,
+                    dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        x = checkpoint_name(y + bias, 'conv_out')
         repeat = 4 if self.phase_pack else (rw or 1)
         x = GroupNorm(num_groups=16, epsilon=1e-5, channel_repeat=repeat,
                       name='norm')(x)
@@ -299,24 +329,31 @@ class ConvBlock(nn.Module):
             off0 = off
             off += ci_p
             if packed:
-                ks = derived_kernel(
-                    self, f'split2d{i}_o{off0}', (kt, kt, ci_p * 4, co * 4),
-                    kernel.dtype,
-                    lambda: expand_kernel_packed_2d(
-                        kernel[:, :, off0:off0 + ci_p, :], 2))
-                strides = (1, 1)
-                pads = [(-t0, kt - 1 + t0)] * 2
+                if _kernel_cached(self, f'split2d{i}_o{off0}'):
+                    ks = derived_kernel(
+                        self, f'split2d{i}_o{off0}', (kt, kt, ci_p * 4, co * 4),
+                        kernel.dtype,
+                        lambda: expand_kernel_packed_2d(
+                            kernel[:, :, off0:off0 + ci_p, :], 2))
+                    yi = jax.lax.conv_general_dilated(
+                        t, ks, (1, 1), [(-t0, kt - 1 + t0)] * 2,
+                        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+                else:
+                    yi = dualgrad.conv_packed_2d(
+                        t, kernel[:, :, off0:off0 + ci_p, :], 2)
             else:
-                ks = derived_kernel(
-                    self, f'splitph2_{i}_o{off0}', (k_sz + 1, k_sz + 1, ci_p, co * 4),
-                    kernel.dtype,
-                    lambda: expand_kernel_phase(
-                        kernel[:, :, off0:off0 + ci_p, :], 2, 2))
-                strides = (2, 2)
-                pads = [(p, p)] * 2
-            yi = jax.lax.conv_general_dilated(
-                t, ks, strides, pads,
-                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+                if _kernel_cached(self, f'splitph2_{i}_o{off0}'):
+                    ks = derived_kernel(
+                        self, f'splitph2_{i}_o{off0}',
+                        (k_sz + 1, k_sz + 1, ci_p, co * 4), kernel.dtype,
+                        lambda: expand_kernel_phase(
+                            kernel[:, :, off0:off0 + ci_p, :], 2, 2))
+                    yi = jax.lax.conv_general_dilated(
+                        t, ks, (2, 2), [(p, p)] * 2,
+                        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+                else:
+                    yi = dualgrad.conv_phase(
+                        t, kernel[:, :, off0:off0 + ci_p, :], 2, 2)
             y = yi if y is None else y + yi
         y = checkpoint_name(y + jnp.repeat(bias, 4), 'conv_out')
         y = GroupNorm(num_groups=16, epsilon=1e-5, channel_repeat=4,
@@ -336,16 +373,23 @@ class ConvBlock(nn.Module):
             ci_p, off0 = t.shape[-1], off
             off += ci_p
             if rw > 1:
-                ks = derived_kernel(
-                    self, f'split{i}_o{off0}_w{rw}',
-                    (k_sz, k_sz + rw - 1, ci_p, co * rw), kernel.dtype,
-                    lambda: expand_kernel_phase(
-                        kernel[:, :, off0:off0 + ci_p, :], 1, rw))
+                if _kernel_cached(self, f'split{i}_o{off0}_w{rw}'):
+                    ks = derived_kernel(
+                        self, f'split{i}_o{off0}_w{rw}',
+                        (k_sz, k_sz + rw - 1, ci_p, co * rw), kernel.dtype,
+                        lambda: expand_kernel_phase(
+                            kernel[:, :, off0:off0 + ci_p, :], 1, rw))
+                    yi = jax.lax.conv_general_dilated(
+                        t, ks, (1, rw), [(p, p), (p, p)],
+                        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+                else:
+                    yi = dualgrad.conv_phase(
+                        t, kernel[:, :, off0:off0 + ci_p, :], 1, rw)
             else:
-                ks = kernel[:, :, off0:off0 + ci_p, :]
-            yi = jax.lax.conv_general_dilated(
-                t, ks, (1, rw), [(p, p), (p, p)],
-                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+                yi = jax.lax.conv_general_dilated(
+                    t, kernel[:, :, off0:off0 + ci_p, :], (1, 1),
+                    [(p, p), (p, p)],
+                    dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
             y = yi if y is None else y + yi
         y = checkpoint_name(
             y + (jnp.repeat(bias, rw) if rw > 1 else bias), 'conv_out')
@@ -399,19 +443,26 @@ class ResidualConv(nn.Module):
             xs, k1, b1 = promote_dtype(x, k1, b1, dtype=None)
             if rin:
                 # 1x1 conv in the packed domain: kt=1, no padding
-                k1e = derived_kernel(
-                    self, f'shortcut_p{rw}', (1, 1, cin * rw, C * rw),
-                    k1.dtype, lambda: expand_kernel_packed_w(k1, rw))
-                sc_strides, sc_pads = (1, 1), [(0, 0), (0, 0)]
+                if _kernel_cached(self, f'shortcut_p{rw}'):
+                    k1e = derived_kernel(
+                        self, f'shortcut_p{rw}', (1, 1, cin * rw, C * rw),
+                        k1.dtype, lambda: expand_kernel_packed_w(k1, rw))
+                    sc = jax.lax.conv_general_dilated(
+                        xs, k1e, (1, 1), [(0, 0), (0, 0)],
+                        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+                else:
+                    sc = dualgrad.conv_packed_w(xs, k1, rw)
             else:
-                k1e = derived_kernel(
-                    self, f'shortcut_w{rw}', (1, rw, cin, C * rw),
-                    k1.dtype, lambda: expand_kernel_phase(k1, 1, rw))
-                sc_strides, sc_pads = (1, rw), [(0, 0), (0, 0)]
-            shortcut = checkpoint_name(jax.lax.conv_general_dilated(
-                xs, k1e, sc_strides, sc_pads,
-                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
-                + jnp.repeat(b1, rw), 'conv_out')
+                if _kernel_cached(self, f'shortcut_w{rw}'):
+                    k1e = derived_kernel(
+                        self, f'shortcut_w{rw}', (1, rw, cin, C * rw),
+                        k1.dtype, lambda: expand_kernel_phase(k1, 1, rw))
+                    sc = jax.lax.conv_general_dilated(
+                        xs, k1e, (1, rw), [(0, 0), (0, 0)],
+                        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+                else:
+                    sc = dualgrad.conv_phase(xs, k1, 1, rw)
+            shortcut = checkpoint_name(sc + jnp.repeat(b1, rw), 'conv_out')
             if self.dropout:
                 # Dropout2d with one draw per ORIGINAL channel: run the real
                 # nn.Dropout submodule on a [B,1,1,C] ones tensor — the
@@ -456,11 +507,12 @@ class ResidualBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         # chain the W-packed layout ACROSS blocks: block0 emits packed, the
         # rest consume and emit packed, one unpack at the stack exit.
-        # EVAL-ONLY: chaining through the packed-domain kernels inflates the
-        # backward's wgrad FLOPs (tools/profile_train.py); training uses the
-        # per-block path (each block still packs internally).
+        # Was eval-only in round 4 (expanded-tap wgrad inflation); with the
+        # compact VJP (ops/dualgrad.py) the chain trains too.
+        # MTE_TRAIN_PACKED=0 restores the r4 per-block train path for A/B.
         rw = 0
-        if (not train and self.auto_lane_pack and self.spatial_axis is None
+        if ((not train or dualgrad.train_packed_enabled())
+                and self.auto_lane_pack and self.spatial_axis is None
                 and self.stride == 1 and not isinstance(x, (list, tuple))):
             rw = _lane_pack_width(self.out_channels, x.shape[2])
             rw = 0 if rw == 1 else rw
@@ -511,14 +563,18 @@ class InvDepthHead(nn.Module):
                 kernel, bias = _ConvParams(self.out_channels, 3,
                                            name='conv1')(x.shape[-1])
                 x, kernel, bias = promote_dtype(x, kernel, bias, dtype=None)
-                ke = derived_kernel(
-                    self, f'head_w{rw}',
-                    (3, 2 + rw, x.shape[-1], self.out_channels * rw),
-                    kernel.dtype, lambda: expand_kernel_phase(kernel, 1, rw))
-                y = jax.lax.conv_general_dilated(
-                    x, ke, (1, rw), [(1, 1), (1, 1)],
-                    dimension_numbers=('NHWC', 'HWIO', 'NHWC')) \
-                    + jnp.repeat(bias, rw)
+                if _kernel_cached(self, f'head_w{rw}'):
+                    ke = derived_kernel(
+                        self, f'head_w{rw}',
+                        (3, 2 + rw, x.shape[-1], self.out_channels * rw),
+                        kernel.dtype,
+                        lambda: expand_kernel_phase(kernel, 1, rw))
+                    y = jax.lax.conv_general_dilated(
+                        x, ke, (1, rw), [(1, 1), (1, 1)],
+                        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+                else:
+                    y = dualgrad.conv_phase(x, kernel, 1, rw)
+                y = y + jnp.repeat(bias, rw)
                 return unpack_w(nn.sigmoid(y) / self.min_depth, rw)
         x = nn.Conv(self.out_channels, (3, 3), padding=[pad_h, pad_w],
                     kernel_init=_xavier, name='conv1')(x)

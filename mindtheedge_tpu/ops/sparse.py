@@ -348,28 +348,47 @@ class MinkConvBlock(nn.Module):
             # HBM/batch when materialized).  Conv inputs are zero at
             # inactive sites by the same invariant (pool/BN outputs).
             from jax.ad_checkpoint import checkpoint_name
-            from mindtheedge_tpu.ops.blocks import derived_kernel
+            from mindtheedge_tpu.ops import dualgrad
+            from mindtheedge_tpu.ops.blocks import (
+                derived_kernel, _kernel_cached)
 
             def conv_packed(xp, kern, cache_name):
-                """packed input -> packed output sparse conv (no bias)."""
-                t0, kt = packed_w_conv_geometry(k, rw)
-                ci_k, co_k = kern.shape[2], kern.shape[3]
-                kp = derived_kernel(
-                    self, cache_name, (k, kt, ci_k * rw, co_k * rw), xp.dtype,
-                    lambda: expand_kernel_packed_w(kern, rw).astype(xp.dtype))
-                return checkpoint_name(jax.lax.conv_general_dilated(
-                    xp, kp, (1, 1), [(p, p), (-t0, kt - 1 + t0)],
-                    dimension_numbers=('NHWC', 'HWIO', 'NHWC')), 'conv_out')
+                """packed input -> packed output sparse conv (no bias).
 
-            kf = derived_kernel(
-                self, f'fused_w{rw}', (k, k + rw - 1, cin, 5 * c * rw),
-                x.dtype,
-                lambda: expand_kernel_phase(
-                    jnp.concatenate([k1, k2, k3], axis=-1), 1, rw
-                ).astype(x.dtype))
-            fused = checkpoint_name(jax.lax.conv_general_dilated(
-                x, kf, (1, rw), [(p, p), (p, p)],
-                dimension_numbers=('NHWC', 'HWIO', 'NHWC')), 'conv_out')
+                Serving reads the expanded kernel from the cache; training
+                routes through dualgrad so the wgrad correlates at the
+                compact [k,k,ci,co] size (the SAN backward sat at 2.0x its
+                HBM floor with the expanded-tap wgrad, tools/profile_bwd.py).
+                """
+                if _kernel_cached(self, cache_name):
+                    t0, kt = packed_w_conv_geometry(k, rw)
+                    ci_k, co_k = kern.shape[2], kern.shape[3]
+                    kp = derived_kernel(
+                        self, cache_name, (k, kt, ci_k * rw, co_k * rw),
+                        xp.dtype,
+                        lambda: expand_kernel_packed_w(
+                            kern, rw).astype(xp.dtype))
+                    y = jax.lax.conv_general_dilated(
+                        xp, kp, (1, 1), [(p, p), (-t0, kt - 1 + t0)],
+                        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+                else:
+                    y = dualgrad.conv_packed_w(xp, kern, rw)
+                return checkpoint_name(y, 'conv_out')
+
+            if _kernel_cached(self, f'fused_w{rw}'):
+                kf = derived_kernel(
+                    self, f'fused_w{rw}', (k, k + rw - 1, cin, 5 * c * rw),
+                    x.dtype,
+                    lambda: expand_kernel_phase(
+                        jnp.concatenate([k1, k2, k3], axis=-1), 1, rw
+                    ).astype(x.dtype))
+                fused = jax.lax.conv_general_dilated(
+                    x, kf, (1, rw), [(p, p), (p, p)],
+                    dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+            else:
+                fused = dualgrad.conv_phase(
+                    x, jnp.concatenate([k1, k2, k3], axis=-1), 1, rw)
+            fused = checkpoint_name(fused, 'conv_out')
             x1 = fused[..., :c * rw]
             x2 = fused[..., c * rw:3 * c * rw]
             x3 = fused[..., 3 * c * rw:]

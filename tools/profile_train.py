@@ -111,7 +111,14 @@ def main():
     ap.add_argument('--width', type=int, default=1280)
     ap.add_argument('--remat', default='', help="'' | 'full' | 'conv'")
     ap.add_argument('--precision', default='bfloat16')
+    ap.add_argument('--only', default='',
+                    help='comma list of segments (default: all); '
+                         'full_step,fwd_loss,fwd_bwd,fwd_loss_rgb_only')
     args = ap.parse_args()
+    only = set(args.only.split(',')) if args.only else None
+
+    def want(name):
+        return only is None or name in only
 
     import jax
     import jax.numpy as jnp
@@ -153,7 +160,8 @@ def main():
         upd = new_state.params['depth']['weight'].astype(jnp.float32).sum()
         return (metrics['loss'] + metrics['grad_norm']).astype(jnp.float32) + upd
 
-    results['full_step'] = bench(full, (state, batch, key))
+    if want('full_step'):
+        results['full_step'] = bench(full, (state, batch, key))
 
     # fwd-only loss (the double RGB+RGBD forward incl. loss stack)
     def fwd_only(state_, batch_, key_):
@@ -161,7 +169,8 @@ def main():
         loss, _ = task.train_loss(variables_from_state(state_), batch_, key_, 0.0)
         return loss.astype(jnp.float32)
 
-    results['fwd_loss'] = bench(fwd_only, (state, batch, key))
+    if want('fwd_loss'):
+        results['fwd_loss'] = bench(fwd_only, (state, batch, key))
 
     # fwd + bwd, no optimizer update
     def fwd_bwd(state_, batch_, key_):
@@ -178,7 +187,8 @@ def main():
         g = jax.grad(lf)(state_.params)
         return optax.global_norm(g).astype(jnp.float32)
 
-    results['fwd_bwd'] = bench(fwd_bwd, (state, batch, key))
+    if want('fwd_bwd'):
+        results['fwd_bwd'] = bench(fwd_bwd, (state, batch, key))
 
     # single RGB-only train forward (no lidar -> no RGBD pass)
     batch_rgb = {k: v for k, v in batch.items() if k != 'input_depth'}
@@ -187,7 +197,8 @@ def main():
         loss, _ = task.train_loss(variables_from_state(state_), batch_, key_, 0.0)
         return loss.astype(jnp.float32)
 
-    results['fwd_loss_rgb_only'] = bench(fwd_rgb, (state, batch_rgb, key))
+    if want('fwd_loss_rgb_only'):
+        results['fwd_loss_rgb_only'] = bench(fwd_rgb, (state, batch_rgb, key))
 
     print(f'paper train config: batch={B} {H}x{W} {args.precision} '
           f'remat={args.remat} params={n_params / 1e6:.1f}M '
@@ -201,6 +212,8 @@ def main():
         'fwd_loss': (fwd_only, (state, batch, key)),
         'fwd_bwd': (fwd_bwd, (state, batch, key)),
     }.items():
+        if name not in results:
+            continue
         fl, by = cost(fn, *a)
         if by:
             t = results[name]
