@@ -26,7 +26,7 @@ from mindtheedge_tpu.ops.packing import pack2d, unpack2d
 from mindtheedge_tpu.ops.phase_conv import (
     expand_kernel_phase, expand_kernel_phase2, expand_kernel_packed_2d,
     expand_kernel_packed_w, packed2d_conv_geometry, packed_w_conv_geometry,
-    unpack_w)
+    unpack_h, unpack_w)
 from mindtheedge_tpu.ops import dualgrad
 
 _xavier = nn.initializers.xavier_uniform()
@@ -742,16 +742,42 @@ class _PackConvBlock(nn.Module):
         C = self.out_channels
         dn = ('NHWC', 'HWIO', 'NHWC')
 
-        def strip_pipe(xs):
+        def strip_pipe(xs, pack_axis=None):
+            """Unfused conv3d+conv pipeline for border strips; the ConvBlock
+            conv (co = 32-64 at pack1/pack2 -> 25-50% MXU lanes) is
+            phase-packed along the strip's LONG axis (``pack_axis``), the
+            only one with room: W for the top/bottom bands, H for the
+            left/right ones.  Exact same math (unpacked at exit)."""
             k2 = derived_kernel(
                 self, 'tridiag', (3, 3, D, self.d * D), kernel.dtype,
                 lambda: _conv3d_tridiag_kernel(k3, D).astype(kernel.dtype))
             y1 = jax.lax.conv_general_dilated(
                 xs, k2, (1, 1), [(1, 1), (1, 1)],
                 dimension_numbers=dn) + jnp.repeat(b3, D)
-            return jax.lax.conv_general_dilated(
-                y1, kernel, (1, 1), [(p, p), (p, p)],
-                dimension_numbers=dn) + bias
+            r = 1
+            if pack_axis == 'w':
+                r = _lane_pack_width(C, y1.shape[2])
+            elif pack_axis == 'h':
+                r = _lane_pack_width(C, y1.shape[1])
+            if r == 1:
+                return jax.lax.conv_general_dilated(
+                    y1, kernel, (1, 1), [(p, p), (p, p)],
+                    dimension_numbers=dn) + bias
+            rh, rw_ = (r, 1) if pack_axis == 'h' else (1, r)
+            name = f'strip_{pack_axis}{r}'
+            if _kernel_cached(self, name):
+                ke = derived_kernel(
+                    self, name,
+                    (k + rh - 1, k + rw_ - 1, self.d * D, C * r),
+                    kernel.dtype,
+                    lambda: expand_kernel_phase(kernel, rh, rw_))
+                y = jax.lax.conv_general_dilated(
+                    y1, ke, (rh, rw_), [(p, p), (p, p)],
+                    dimension_numbers=dn)
+            else:
+                y = dualgrad.conv_phase(y1, kernel, rh, rw_)
+            y = y + jnp.repeat(bias, r)
+            return unpack_h(y, r) if pack_axis == 'h' else unpack_w(y, r)
 
         if self.spatial_axis is not None:
             # H-sharded: unfused pipeline with halo exchanges.  ppermute's
@@ -810,10 +836,10 @@ class _PackConvBlock(nn.Module):
             # exact border bands, spliced via dynamic_update_slice (an
             # explicit jnp.pad-to-full-size + where costs 150+ ms on TPU —
             # large-tensor pads are full unaligned relayouts; DUS is ~1 ms)
-            ts = strip_pipe(x[:, :2 * p + 1])[:, :p]
-            bs = strip_pipe(x[:, h - 2 * p - 1:])[:, p + 1:]
-            ls = strip_pipe(x[:, :, :2 * p + 1])[:, :, :p]
-            rs = strip_pipe(x[:, :, w - 2 * p - 1:])[:, :, p + 1:]
+            ts = strip_pipe(x[:, :2 * p + 1], 'w')[:, :p]
+            bs = strip_pipe(x[:, h - 2 * p - 1:], 'w')[:, p + 1:]
+            ls = strip_pipe(x[:, :, :2 * p + 1], 'h')[:, :, :p]
+            rs = strip_pipe(x[:, :, w - 2 * p - 1:], 'h')[:, :, p + 1:]
             y = jax.lax.dynamic_update_slice(y, ts, (0, 0, 0, 0))
             y = jax.lax.dynamic_update_slice(y, bs, (0, h - p, 0, 0))
             y = jax.lax.dynamic_update_slice(y, ls, (0, 0, 0, 0))

@@ -44,19 +44,25 @@ _DN = ('NHWC', 'HWIO', 'NHWC')
 
 
 def enabled():
-    return os.environ.get('MTE_COMPACT_VJP', '1') != '0'
+    """Default OFF — measured on the chip (round 5, b3 384x1280 paper
+    config): the full train step is 94% HBM-bound, so swapping the
+    expanded-tap wgrad (whose inflated FLOPs hide under the byte floor) for
+    the compact backward's extra pack/unpack relayout bytes LOSES: 235.7 ms
+    baseline vs 246.0 ms with the compact VJP (tools/profile_train.py).
+    The machinery stays (gradient-equality pinned in tests/test_dualgrad.py)
+    for compute-bound regimes: ``MTE_COMPACT_VJP=1`` enables."""
+    return os.environ.get('MTE_COMPACT_VJP', '0') == '1'
 
 
 def train_packed_enabled():
     """Whether the serving-side packed formulations (pack2d decoder, W-packed
-    disp heads, cross-block chaining) also run in the TRAIN graph.  They were
-    eval-only in round 4 because their expanded-tap wgrad blew the step up
-    237 -> 383 ms; with the compact VJP they re-enter by default.
-    ``MTE_TRAIN_PACKED=0/1`` overrides for A/B measurement."""
-    v = os.environ.get('MTE_TRAIN_PACKED', 'auto')
-    if v == 'auto':
-        return enabled()
-    return v != '0'
+    disp heads, cross-block chaining) also run in the TRAIN graph.  Default
+    OFF — measured (round 5): with everything on the step ran 300.5 ms vs
+    235.7 baseline; the packings' kernel-derivation chains ride every
+    training forward (fwd_loss 75.7 -> 116.3) and their backward adds bytes
+    to an HBM-saturated program.  ``MTE_TRAIN_PACKED=1`` re-enables (pair
+    with ``MTE_COMPACT_VJP=1`` or the expanded wgrad regresses further)."""
+    return os.environ.get('MTE_TRAIN_PACKED', '0') == '1'
 
 
 def _dual(primal_fn, compact_fn):

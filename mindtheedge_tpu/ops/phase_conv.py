@@ -36,17 +36,26 @@ def expand_kernel_phase(kernel, rh=2, rw=2):
     stride-1 SAME conv with each output pixel's (dy, dx) phase at channel
     ``co*rh*rw + dy*rw + dx`` (pack2d order for rh=rw=2).  Padding stays
     (p, p) per axis: pl+ph = k-1 keeps the output grid aligned for any r.
+
+    Built as ONE 0/1-selector einsum: the rh*rw pad+stack loop this replaces
+    lowers to a SERIAL update chain (the same pathology measured at 16.9 ms
+    on the 27-term pack-kernel compose), which at the disp heads' rw=128 put
+    ~10 ms of kernel derivation into every training forward.  Entries are
+    single selections, so values are bit-identical to the padded form.
     """
+    import numpy as np
     kh, kw, ci, co = kernel.shape
-    rows = []
-    for a in range(rh):
-        cols = []
-        for b in range(rw):
-            cols.append(jnp.pad(kernel,
-                                ((a, rh - 1 - a), (b, rw - 1 - b),
-                                 (0, 0), (0, 0))))
-        rows.append(jnp.stack(cols, axis=-1))   # [kh+rh-1, kw+rw-1, ci, co, rw]
-    kb = jnp.stack(rows, axis=-2)               # [..., ci, co, rh, rw]
+    sel_h = np.zeros((rh, kh + rh - 1, kh), np.float32)   # [dy, e, a]
+    for dy in range(rh):
+        for a in range(kh):
+            sel_h[dy, a + dy, a] = 1.0
+    sel_w = np.zeros((rw, kw + rw - 1, kw), np.float32)   # [dx, f, b]
+    for dx in range(rw):
+        for b in range(kw):
+            sel_w[dx, b + dx, b] = 1.0
+    kb = jnp.einsum('yea,xfb,abic->eficyx',
+                    jnp.asarray(sel_h, kernel.dtype),
+                    jnp.asarray(sel_w, kernel.dtype), kernel)
     return kb.reshape(kh + rh - 1, kw + rw - 1, ci, co * rh * rw)
 
 
@@ -70,6 +79,16 @@ def pack_w(x, r):
     x = x.reshape(b, h, w // r, r, c)
     x = x.transpose(0, 1, 2, 4, 3)
     return x.reshape(b, h, w // r, c * r)
+
+
+def unpack_h(x, r):
+    """Inverse of H-phase packing: [B,H/r,W,C*r] (chan co*r+dy) -> [B,H,W,C]
+    — the output layout of ``expand_kernel_phase(kernel, r, 1)``."""
+    b, h, w, cr = x.shape
+    c = cr // r
+    x = x.reshape(b, h, w, c, r)
+    x = x.transpose(0, 1, 4, 2, 3)
+    return x.reshape(b, h * r, w, c)
 
 
 def packed_w_conv_geometry(kw, rw):

@@ -39,6 +39,7 @@ CASES = [
 @pytest.mark.parametrize('name,fn,xshape,kshape',
                          CASES, ids=[c[0] for c in CASES])
 def test_dual_matches_plain_autodiff(name, fn, xshape, kshape, monkeypatch):
+    monkeypatch.setenv('MTE_COMPACT_VJP', '1')   # default off (measured loss)
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(*xshape).astype(np.float32))
     k = jnp.asarray(rng.randn(*kshape).astype(np.float32) * 0.2)
@@ -58,9 +59,10 @@ def test_dual_matches_plain_autodiff(name, fn, xshape, kshape, monkeypatch):
                                rtol=2e-5, atol=2e-5)
 
 
-def test_residualconv_packed_grads_match_unpacked_oracle():
+def test_residualconv_packed_grads_match_unpacked_oracle(monkeypatch):
     """Full packed ResidualConv (conv1 phase_w -> conv2 packed_w -> packed
     1x1 shortcut) training gradient == the auto_lane_pack=False oracle."""
+    monkeypatch.setenv('MTE_COMPACT_VJP', '1')
     from mindtheedge_tpu.ops.blocks import ResidualConv
 
     rng = np.random.RandomState(1)
@@ -85,9 +87,10 @@ def test_residualconv_packed_grads_match_unpacked_oracle():
                                    err_msg=jax.tree_util.keystr(p1))
 
 
-def test_minkconvblock_packed_grads_match_unpacked_oracle():
+def test_minkconvblock_packed_grads_match_unpacked_oracle(monkeypatch):
     """SAN ladder level: lane-packed training gradients == lane_pack=False
-    (the segment whose backward the compact VJP deflates)."""
+    through the compact VJP."""
+    monkeypatch.setenv('MTE_COMPACT_VJP', '1')
     from mindtheedge_tpu.ops.sparse import MinkConvBlock
 
     rng = np.random.RandomState(2)

@@ -210,3 +210,50 @@ def test_packed2d_decoder_matches_plain():
     for s, (a, b) in enumerate(zip(out_plain, out_packed)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-5, err_msg=f'scale {s}')
+
+
+def test_pack_layer_border_strips_lane_packed_parity():
+    """_PackConvBlock with phase-packed border strips (W-packed top/bottom,
+    H-packed left/right) == the plain unfused conv3d+conv+GN pipeline."""
+    import jax
+    import jax.numpy as jnp
+    from mindtheedge_tpu.ops.blocks import (
+        PackLayerConv3d, _conv3d_tridiag_kernel)
+    from mindtheedge_tpu.ops.packing import pack2d
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 64, 128, 32).astype(np.float32))
+    m = PackLayerConv3d(32, 5, d=4)
+    v = jax.jit(lambda k, xx: m.init(k, xx))(jax.random.PRNGKey(0), x)
+    y = np.asarray(jax.jit(lambda v_, xx: m.apply(v_, xx))(v, x))
+
+    k3 = v['params']['conv3d']['kernel']
+    b3 = v['params']['conv3d']['bias']
+    kern = v['params']['conv']['conv']['kernel']
+    bias = v['params']['conv']['conv']['bias']
+    gn_sc = v['params']['conv']['norm']['scale']
+    gn_b = v['params']['conv']['norm']['bias']
+
+    def unfused(xx):
+        k2 = _conv3d_tridiag_kernel(k3, xx.shape[-1]).astype(xx.dtype)
+        y1 = jax.lax.conv_general_dilated(
+            xx, k2, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC')) \
+            + jnp.repeat(b3, xx.shape[-1])
+        z = jax.lax.conv_general_dilated(
+            y1, kern, (1, 1), [(2, 2), (2, 2)],
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC')) + bias
+        xf = z.astype(jnp.float32)
+        b_, h_, w_, c_ = xf.shape
+        g, gs = 16, xf.shape[-1] // 16
+        mc = xf.mean(axis=(1, 2))
+        m2 = (xf ** 2).mean(axis=(1, 2))
+        mg = mc.reshape(b_, g, gs).mean(-1)
+        m2g = m2.reshape(b_, g, gs).mean(-1)
+        inv = jax.lax.rsqrt(jnp.maximum(m2g - mg ** 2, 0.0) + 1e-5)
+        invc = jnp.repeat(inv, gs, 1) * gn_sc[None]
+        off = gn_b[None] - jnp.repeat(mg, gs, 1) * invc
+        return jax.nn.elu(xf * invc[:, None, None, :] + off[:, None, None, :])
+
+    ref = np.asarray(jax.jit(lambda: unfused(pack2d(x, 2)))())
+    np.testing.assert_allclose(y, ref, atol=3e-5, rtol=1e-5)
