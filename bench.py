@@ -143,7 +143,15 @@ def _bench_device(ctx, batch):
     def looped(v, r, d):
         def body(i, acc):
             ri = r + (i.astype(r.dtype) * jnp.asarray(1e-3, r.dtype))
-            return acc + fwd(v, ri, d)
+            # the lidar must be perturbed too: with a loop-invariant d the
+            # whole lidar-only SAN sub-DAG is hoisted out of the fori_loop
+            # by XLA and the loop times a program WITHOUT the SAN ladder
+            # (round-5 finding: 83.4 vs 115.7 ms at b8 — rounds 2-4 device
+            # numbers undercounted by ~30 ms/batch; tools/probe_full_fwd.py
+            # --perturb-lidar).  (d>0) keeps the sparsity pattern fixed.
+            di = d + (i.astype(d.dtype) * jnp.asarray(1e-3, d.dtype)) \
+                * (d > 0).astype(d.dtype)
+            return acc + fwd(v, ri, di)
         return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
 
     float(looped(variables, rgb, lidar))   # compile + warm
@@ -238,10 +246,11 @@ def _bench_end_to_end(ctx, batch, wire_fmt='u16'):
 def main():
     _setup_cache()
     dev_ips = e2e_ips = e2e_u8_ips = None
-    # device batch 16 measured ~12% over 8 (b32 tried first, OOM falls
-    # through); the link-bound e2e loop prefers batch 8 (finer transfer
-    # granularity overlaps better on the relay)
-    for dev_batch, e2e_batch in ((32, 8), (16, 8), (8, 8), (4, 4), (2, 2),
+    # device batch sweep (tools/probe_serving_sweep.py, round 5, cached):
+    # b16 10.30 ms/img bare / 10.37 incl the nms+wire tail — the best point
+    # (b8 10.50, b32 10.33); the link-bound e2e loop prefers batch 8 (finer
+    # transfer granularity overlaps better on the relay)
+    for dev_batch, e2e_batch in ((16, 8), (32, 8), (8, 8), (4, 4), (2, 2),
                                  (1, 1)):
         try:
             dev_ips = _bench_device(_build(dev_batch, 'bf16'), dev_batch)

@@ -48,10 +48,17 @@ def main():
         print(f"kernel cache: "
               f"{len(jax.tree_util.tree_leaves(v['kernel_cache']))} entries")
 
+    perturb_lidar = '--perturb-lidar' in sys.argv
+
     def looped(v_, r, d):
         def body(i, acc):
             ri = r + (i.astype(r.dtype) * jnp.asarray(1e-3, r.dtype))
-            out = model.apply(v_, ri, d, train=False)['inv_depths'][0]
+            # perturbing ONLY rgb leaves the lidar-only SAN sub-DAG loop-
+            # invariant, which XLA can hoist out of the fori_loop -> the
+            # loop then measures a program without the SAN ladder
+            di = d + (i.astype(d.dtype) * jnp.asarray(1e-3, d.dtype)) * (d > 0) \
+                if perturb_lidar else d
+            out = model.apply(v_, ri, di, train=False)['inv_depths'][0]
             return acc + out.astype(jnp.float32).mean()
         return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
 

@@ -67,7 +67,11 @@ def main():
         def looped(v_, r, d):
             def body(i, acc):
                 ri = r + (i.astype(r.dtype) * jnp.asarray(1e-3, r.dtype))
-                return acc + fn(v_, ri, d)
+                # lidar perturbed too or XLA hoists the SAN ladder out of
+                # the loop (round-5 finding, see bench.py)
+                di = d + (i.astype(d.dtype) * jnp.asarray(1e-3, d.dtype)) \
+                    * (d > 0).astype(d.dtype)
+                return acc + fn(v_, ri, di)
             return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
 
         f = jax.jit(looped)
