@@ -29,32 +29,34 @@ _xavier = nn.initializers.xavier_uniform()
 
 
 def _phase_pool_nonneg(x, mask):
-    """[B,H,W,1] masked 3x3/2 max-pool via H/W phase splits (plain elementwise
-    maxima on [B,H/2,W]-shaped tensors — full lane utilization).
+    """[B,H,W,C] masked 3x3/2 max-pool via H/W phase splits (plain
+    elementwise maxima on phase-reshaped tensors — full lane utilization,
+    no strided slices: the 13-op stride-2 slice chain measured 9.6 ms at
+    [8,192,640,32] against a 1.0 ms byte floor, this formulation ~1 ms).
 
     Requires the non-negativity invariant documented at the call site in
     ``masked_max_pool_3x3_s2``; verified identical to the slice-chain path
     (values, masks, and gradients) by ``tests/test_sparse_pool_fusion.py``.
     """
-    b, h, w, _ = x.shape
-    xm = (x * mask)[..., 0]                              # [B,H,W], >= 0
-    xr = xm.reshape(b, h // 2, 2, w)
+    b, h, w, c = x.shape
+    xm = x * mask                                        # [B,H,W,C], >= 0
+    xr = xm.reshape(b, h // 2, 2, w, c)
     E, O = xr[:, :, 0], xr[:, :, 1]                      # rows 2i / 2i+1
-    Oup = jnp.pad(O, ((0, 0), (1, 0), (0, 0)))[:, :-1]   # row 2i-1
-    R = jnp.maximum(jnp.maximum(E, O), Oup)              # [B,H/2,W]
-    Rr = R.reshape(b, h // 2, w // 2, 2)
-    RE, RO = Rr[..., 0], Rr[..., 1]                      # cols 2j / 2j+1
-    ROl = jnp.pad(RO, ((0, 0), (0, 0), (1, 0)))[:, :, :-1]  # col 2j-1
-    pooled = jnp.maximum(jnp.maximum(RE, RO), ROl)       # [B,H/2,W/2]
+    Oup = jnp.pad(O, ((0, 0), (1, 0), (0, 0), (0, 0)))[:, :-1]   # row 2i-1
+    R = jnp.maximum(jnp.maximum(E, O), Oup)              # [B,H/2,W,C]
+    Rr = R.reshape(b, h // 2, w // 2, 2, c)
+    RE, RO = Rr[:, :, :, 0], Rr[:, :, :, 1]              # cols 2j / 2j+1
+    ROl = jnp.pad(RO, ((0, 0), (0, 0), (1, 0), (0, 0)))[:, :, :-1]  # col 2j-1
+    pooled = jnp.maximum(jnp.maximum(RE, RO), ROl)       # [B,H/2,W/2,C]
     hard_mask = jax.lax.stop_gradient(mask)
     mr = hard_mask[..., 0].reshape(b, h // 2, 2, w)
     cm = jnp.maximum(mr[:, :, 0], mr[:, :, 1])
     cmr = cm.reshape(b, h // 2, w // 2, 2)
     new_mask = (jnp.maximum(cmr[..., 0], cmr[..., 1]) > 0).astype(x.dtype)
-    pooled = (pooled * new_mask).astype(x.dtype)
+    pooled = (pooled * new_mask[..., None]).astype(x.dtype)
     # same fusion barrier as the slice-chain paths (see comment below)
     pooled, new_mask = jax.lax.optimization_barrier(
-        (pooled[..., None], new_mask[..., None]))
+        (pooled, new_mask[..., None]))
     return pooled, new_mask
 
 
@@ -122,15 +124,25 @@ def masked_max_pool_3x3_s2(x, mask, spatial_axis=None):
 
     b, h, w, c = x.shape
     h_out, w_out = (h + 1) // 2, (w + 1) // 2
-    if c == 1 and h % 2 == 0 and w % 2 == 0:
-        # Lane-friendly path for the full-res C=1 input-depth pool: C=1 puts
-        # one value in a 128-wide lane vector, so the 13-op strided-slice
-        # chain below runs at ~1% lane efficiency (measured 1.8 ms at
-        # [8,384,1280,1] bf16 vs 0.09 ms for this formulation).  Because
-        # active values are >= 0 with inactive sites exactly 0 at every call
-        # site (level 0: depth > 0; deeper: relu(.)*mask), the masked max
-        # equals a plain max of x*mask followed by cell-mask zeroing.
+    if h % 2 == 0 and w % 2 == 0:
+        # Lane-friendly path for every even-shape pool (all five ladder
+        # levels at the paper resolutions).  The 13-op strided-slice chain
+        # below reads at stride 2 along the minor dims — measured 1.8 ms at
+        # [8,384,1280,1] (~1% lanes) and 9.6 ms at [8,192,640,32] against a
+        # 1.0 ms byte floor; the phase formulation is ~1 ms there.  Valid
+        # because active values are >= 0 with inactive sites exactly 0 at
+        # every call site (level 0: depth > 0; deeper: relu(.)*mask), so
+        # the masked max equals a plain max of x*mask + cell-mask zeroing.
         return _phase_pool_nonneg(x, mask)
+    return _chain_pool(x, mask)
+
+
+def _chain_pool(x, mask):
+    """Strided-slice-chain masked pool: the general (odd-shape-capable,
+    no-invariant) formulation and the oracle the phase path is tested
+    against (``tests/test_sparse_pool_fusion.py``)."""
+    b, h, w, c = x.shape
+    h_out, w_out = (h + 1) // 2, (w + 1) // 2
     neg = jnp.asarray(jnp.finfo(jnp.float32).min, dtype=x.dtype)
     x_masked = jnp.where(mask > 0, x, neg)
     # Differentiable 3x3/2 max-pool as a chain of 9 shifted-slice maxima
@@ -257,6 +269,22 @@ class _KernelOnly(nn.Module):
         k = self.kernel_size
         return self.param('kernel', _xavier,
                           (k, k, in_channels, self.out_channels), jnp.float32)
+
+
+def _conv_plain(x, kernel, p, spatial_axis=None):
+    """Bias-free SAME conv (halo-exchanged along sharded dims); no mask ops
+    — callers rely on the zeros-at-inactive invariant + downstream BN."""
+    pad_h = pad_w = (p, p)
+    if spatial_axis is not None:
+        from mindtheedge_tpu.parallel.spatial import halo_exchange_h, spec_hw
+        h_ax, w_ax = spec_hw(spatial_axis)
+        x = halo_exchange_h(x, p, spatial_axis)
+        pad_h = (0, 0) if h_ax is not None else pad_h
+        pad_w = (0, 0) if w_ax is not None else pad_w
+    from jax.ad_checkpoint import checkpoint_name
+    return checkpoint_name(jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), (1, 1), [pad_h, pad_w],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC')), 'conv_out')
 
 
 def _sparse_conv_apply(xm, kernel, mask, p, spatial_axis=None):
@@ -418,26 +446,34 @@ class MinkConvBlock(nn.Module):
             y = nn.relu(y)
             return unpack_w(y, rw), mask
 
-        fused = _sparse_conv_apply(
-            x * mask, jnp.concatenate([k1, k2, k3], axis=-1), mask, p, sp)
+        # No inter-op mask multiplies (same invariant as the packed branch
+        # above): every conv INPUT here is zero at inactive sites (pool/BN
+        # outputs), and every conv OUTPUT flows into a MaskedBatchNorm whose
+        # statistics ignore inactive sites and whose output re-zeroes them —
+        # active-site values and the level output are IDENTICAL while the
+        # O(#tensors) mask passes disappear.  relu preserves zeros, and the
+        # final BN+relu re-establishes the zeros-at-inactive contract.
+        def conv_nomask(t, kern, cache_name=None):
+            return _conv_plain(t, kern, p, sp)
+
+        fused = conv_nomask(x, jnp.concatenate([k1, k2, k3], axis=-1))
         x1 = fused[..., :c]
         x2 = fused[..., c:3 * c]
         x3 = fused[..., 3 * c:]
 
         x2 = MaskedBatchNorm(spatial_axis=sp, name='layer2_bn0')(x2, mask, train)
-        x2 = nn.relu(x2) * mask
-        x2 = SparseConv(c, k, spatial_axis=sp, name='layer2_1')(x2, mask)
+        x2 = conv_nomask(nn.relu(x2),
+                         _SparseConvKernel(c, k, name='layer2_1')(2 * c))
 
         x3 = MaskedBatchNorm(spatial_axis=sp, name='layer3_bn0')(x3, mask, train)
-        x3 = nn.relu(x3) * mask
-        x3 = SparseConv(2 * c, k, spatial_axis=sp, name='layer3_1')(x3, mask)
+        x3 = conv_nomask(nn.relu(x3),
+                         _SparseConvKernel(2 * c, k, name='layer3_1')(2 * c))
         x3 = MaskedBatchNorm(spatial_axis=sp, name='layer3_bn1')(x3, mask, train)
-        x3 = nn.relu(x3) * mask
-        x3 = SparseConv(c, k, spatial_axis=sp, name='layer3_2')(x3, mask)
+        x3 = conv_nomask(nn.relu(x3),
+                         _SparseConvKernel(c, k, name='layer3_2')(2 * c))
 
         y = MaskedBatchNorm(spatial_axis=sp, name='final_bn')(x1 + x2 + x3, mask, train)
-        y = nn.relu(y) * mask
-        return y, mask
+        return nn.relu(y), mask
 
 
 class SparseDepthEncoder(nn.Module):

@@ -62,22 +62,45 @@ def test_phase_pool_matches_slice_chain_values_and_grads():
     x = jnp.asarray(d)
     mask = (x > 0).astype(x.dtype)
 
-    def pool_c1(x1):          # dispatches to the phase path (C=1, even H/W)
+    from mindtheedge_tpu.ops.sparse import _chain_pool
+
+    def pool_phase(x1):       # dispatches to the phase path (even H/W)
         p, m = masked_max_pool_3x3_s2(x1, (x1 > 0).astype(x1.dtype))
         return p, m
 
-    def pool_chain(x1):       # force the chain path via a duplicated channel
-        x2 = jnp.concatenate([x1, x1], axis=-1)
-        p, m = masked_max_pool_3x3_s2(x2, (x1 > 0).astype(x1.dtype))
-        return p[..., :1], m
+    def pool_chain(x1):       # the slice-chain oracle
+        return _chain_pool(x1, (x1 > 0).astype(x1.dtype))
 
-    p1, m1 = jax.jit(pool_c1)(x)
+    p1, m1 = jax.jit(pool_phase)(x)
     p2, m2 = jax.jit(pool_chain)(x)
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
 
-    g1 = jax.jit(jax.grad(lambda x_: pool_c1(x_)[0].sum()))(x)
+    g1 = jax.jit(jax.grad(lambda x_: pool_phase(x_)[0].sum()))(x)
     g2 = jax.jit(jax.grad(lambda x_: pool_chain(x_)[0].sum()))(x)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+
+
+def test_phase_pool_multichannel_matches_chain():
+    """The generalized multi-channel phase pool (round 5: ALL ladder levels
+    dispatch to it; the slice chain measured 9.6 ms vs a 1.0 ms floor at
+    [8,192,640,32]) == the chain oracle: values, masks, gradients."""
+    from mindtheedge_tpu.ops.sparse import _chain_pool
+
+    rng = np.random.RandomState(2)
+    v = rng.rand(2, 32, 48, 16).astype(np.float32) * 5.0
+    active = (rng.rand(2, 32, 48, 1) < 0.3).astype(np.float32)
+    x = jnp.asarray(v * active)          # >= 0, inactive exactly 0
+    mask = jnp.asarray(active)
+
+    p1, m1 = jax.jit(masked_max_pool_3x3_s2)(x, mask)
+    p2, m2 = jax.jit(_chain_pool)(x, mask)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+    g1 = jax.jit(jax.grad(
+        lambda x_: masked_max_pool_3x3_s2(x_, mask)[0].sum()))(x)
+    g2 = jax.jit(jax.grad(lambda x_: _chain_pool(x_, mask)[0].sum()))(x)
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
 
 
