@@ -28,6 +28,57 @@ def _conv3(x, kernel):
     return conv2_single(x[..., 0], kernel, reflect=False)[..., None]
 
 
+def _sobel_bank_packed(x, rw, with_diag):
+    """All Sobel responses in ONE W-phase-packed conv.
+
+    ``_conv3`` is a 1-in/1-out-channel full-res conv — 1/128 MXU lanes, and
+    the train loss runs up to 16 of them (4 kernels x 4 scales): measured as
+    the bulk of a 53.5 ms fwd_loss-vs-bare gap at b8 (tools/probe_b8_gap.py,
+    round 5).  Phase-packing the W axis by ``rw`` turns the bank into one
+    [3, 2+rw, 1, n*rw] conv at full lanes; the direction selects and the
+    (sum-based, layout-invariant) BCE then run in the packed domain.
+
+    x: [B,H,W,1] -> list of n packed tensors [B,H,W/rw,rw] (channel = dx),
+    same values as ``_conv3`` per kernel (zero padding).
+    """
+    import jax
+    from mindtheedge_tpu.ops.phase_conv import expand_kernel_phase
+    kernels = [SOBEL3_V, SOBEL3_H] + ([SOBEL3_LR, SOBEL3_RL] if with_diag else [])
+    bank = jnp.stack([jnp.asarray(k, x.dtype) for k in kernels],
+                     axis=-1)[:, :, None, :]              # [3,3,1,n]
+    ke = expand_kernel_phase(bank, 1, rw)                 # [3,2+rw,1,n*rw]
+    y = jax.lax.conv_general_dilated(
+        x, ke, (1, rw), [(1, 1), (1, 1)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        precision=jax.lax.Precision.HIGHEST)              # [B,H,W/rw,n*rw]
+    return [y[..., i * rw:(i + 1) * rw] for i in range(len(kernels))]
+
+
+def _pack_w1(t, rw):
+    """[B,H,W,1] -> [B,H,W/rw,rw] (phase channel dx) for loss-side tensors."""
+    b, h, w, _ = t.shape
+    return t[..., 0].reshape(b, h, w // rw, rw)
+
+
+def _grad_mag_packed(x, normal, rw):
+    """Packed-domain ``grad_layer`` magnitude: [B,H,W,1] -> [B,H,W/rw,rw]."""
+    if normal is None:
+        x_v, x_h = _sobel_bank_packed(x, rw, with_diag=False)
+        return jnp.sqrt(x_v ** 2 + x_h ** 2 + 1e-6)
+    x_v, x_h, x_lr, x_rl = _sobel_bank_packed(x, rw, with_diag=True)
+    n = _pack_w1(normal, rw)
+    pi = np.pi
+    in_range = lambda lo, hi: (n >= lo) & (n < hi)
+    range_v = in_range(-5 * pi / 8, -3 * pi / 8) | in_range(3 * pi / 8, 5 * pi / 8)
+    range_rl = in_range(-7 * pi / 8, -5 * pi / 8) | in_range(1 * pi / 8, 3 * pi / 8)
+    range_lr = in_range(-3 * pi / 8, -1 * pi / 8) | in_range(5 * pi / 8, 7 * pi / 8)
+    mag = jnp.abs(x_h)
+    mag = jnp.where(range_v, jnp.abs(x_v), mag)
+    mag = jnp.where(range_rl, jnp.abs(x_rl), mag)
+    mag = jnp.where(range_lr, jnp.abs(x_lr), mag)
+    return mag
+
+
 def grad_layer(x, normal=None):
     """Sobel gradient magnitude or normal-directed derivative.
 
@@ -136,9 +187,28 @@ def grad_loss(output, gt_edge, gt_mask=None, is_grad=True, is_sigmoid=True,
     output: [B,h,w,1] predicted depth (or probability when is_grad=False);
     gt_edge: [B,H,W,1].  Returns (loss, output_grad).
     """
+    import jax
     gt_h, gt_w = gt_edge.shape[1], gt_edge.shape[2]
     if output.shape[1] != gt_h or output.shape[2] != gt_w:
         output = resize_bilinear(output, (gt_h, gt_w), align_corners=False)
+
+    # Packed fast path (see _sobel_bank_packed): the whole grad->sigmoid->BCE
+    # chain runs W-phase-packed — same values (BCE is sum-based and
+    # layout-invariant; pack/unpack of a 1-channel tensor is a pure reshape).
+    rw = 32 if (is_grad and is_sigmoid and edge_loss_type == 'cross_entropy'
+                and output.shape[-1] == 1) else 1
+    while rw > 1 and gt_w % rw:
+        rw //= 2
+    if rw > 1:
+        mag_p = _grad_mag_packed(output, gt_normals, rw)
+        prob_p = jnp.asarray(1.0) / (1.0 + jnp.exp(-(mag_p - sigmoid_thresh)))
+        edge_loss = class_balanced_bce(
+            prob_p, _pack_w1(gt_edge, rw),
+            None if gt_mask is None else _pack_w1(gt_mask, rw),
+            pos_to_neg_weight)
+        b = output.shape[0]
+        output_grad = mag_p.reshape(b, gt_h, gt_w)[..., None]
+        return weight * jnp.mean(edge_loss), jax.lax.stop_gradient(output_grad)
 
     if is_grad:
         output_grad, _, _ = grad_layer(output, gt_normals)

@@ -23,7 +23,7 @@ import flax.linen as nn
 
 from mindtheedge_tpu.ops.blocks import (
     ConvBlock, ResidualBlock, InvDepthHead, PackLayerConv3d, UnpackLayerConv3d)
-from mindtheedge_tpu.ops.packing import upsample_nearest2x
+from mindtheedge_tpu.ops.packing import unpack2d, upsample_nearest2x
 from mindtheedge_tpu.ops.sparse import SparseDepthEncoder
 
 # Encoder/decoder widths (PackNetSAN01.py:179-184)
@@ -53,11 +53,17 @@ class PackNetSlimEncoder(nn.Module):
     def __call__(self, rgb, train: bool = False):
         ni, n1, n2, n3, n4, n5 = self.channels
         sp = self.spatial_axis
-        # the phase-packed stem is a stride-2 conv; under H-sharding we keep
-        # the plain stride-1 + pack2d pipeline (correctness-first escape path)
+        # the phase-packed stem runs pack2d END-TO-END: pre_calc emits
+        # pack2d(conv(rgb)) via a stride-2 phase conv, conv1 convolves in
+        # the pack2d domain, pack1 consumes the packed layout directly —
+        # zero full-res unpacked intermediates (round 5: the unpacked x
+        # between a packed pre_calc and the strided conv1 cost ~5.7 ms of
+        # XLA layout churn at b8).  Under H-sharding we keep the plain
+        # stride-1 + pack2d pipeline (correctness-first escape path).
         pp = self.phase_packed_stem and sp is None
-        x = ConvBlock(ni, 5, 1, spatial_axis=sp, name='pre_calc')(rgb)
-        x1 = ConvBlock(n1, 7, 1, phase_pack=pp, spatial_axis=sp,
+        x = ConvBlock(ni, 5, 1, phase_pack=pp, spatial_axis=sp,
+                      name='pre_calc')(rgb)
+        x1 = ConvBlock(n1, 7, 1, packed_input_2d=pp, spatial_axis=sp,
                        name='conv1')(x)
         x1p = PackLayerConv3d(n1, PACK_KERNEL[0], d=NUM_3D_FEAT,
                               input_packed=pp, spatial_axis=sp,
@@ -78,7 +84,11 @@ class PackNetSlimEncoder(nn.Module):
                            spatial_axis=sp, name='conv5')(x4p, train)
         x5p = PackLayerConv3d(n5, PACK_KERNEL[4], d=NUM_3D_FEAT,
                               spatial_axis=sp, name='pack5')(x5)
-        return x5p, [x, x1p, x2p, x3p, x4p]
+        # skip1 contract is the FULL-RES pre_calc output; with the packed
+        # stem it is unpacked here, off the stem's critical path (its only
+        # consumer is the decoder's iconv1)
+        skip1 = unpack2d(x, 2) if pp else x
+        return x5p, [skip1, x1p, x2p, x3p, x4p]
 
 
 class PackNetDecoder(nn.Module):

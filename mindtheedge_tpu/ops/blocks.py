@@ -170,6 +170,7 @@ class ConvBlock(nn.Module):
     packed_input_w: int = 0        # input arrives W-phase-packed (this factor)
     keep_packed_w: int = 0         # emit W-packed output (skip the unpack)
     packed2d_parts: tuple = ()     # list-input parts arriving in pack2d layout
+    packed_input_2d: bool = False  # single pack2d input -> pack2d output
     spatial_axis: Optional[str] = None   # H-sharded mode (parallel/spatial.py)
 
     @nn.compact
@@ -183,9 +184,38 @@ class ConvBlock(nn.Module):
         if self.packed_input_w:
             assert parts is None, 'packed input must be a single tensor'
             cin //= self.packed_input_w   # params live per ORIGINAL channel
+        if self.packed_input_2d:
+            assert parts is None and self.stride == 1 \
+                and not self.phase_pack and self.spatial_axis is None
+            cin //= 4                     # params live per ORIGINAL channel
         p = self.kernel_size // 2
         kernel, bias = _ConvParams(self.out_channels, self.kernel_size,
                                    name='conv')(cin)
+        if self.packed_input_2d:
+            # stride-1 SAME conv computed ENTIRELY in the pack2d domain
+            # (round 5: the stem's unpacked intermediate between the packed
+            # pre_calc and the strided conv1 cost ~5.7 ms of XLA layout
+            # churn at b8 — standalone relayouts are roofline-cheap, the
+            # composition was not; chaining pack2d end-to-end removes the
+            # transition entirely).  Output stays pack2d for the consumer
+            # (PackLayerConv3d input_packed / packed2d_parts iconvs).
+            x, kernel, bias = promote_dtype(x, kernel, bias, dtype=None)
+            t0, kt = packed2d_conv_geometry(self.kernel_size, 2)
+            co = self.out_channels
+            if _kernel_cached(self, 'packed2d_in'):
+                ke = derived_kernel(
+                    self, 'packed2d_in', (kt, kt, cin * 4, co * 4),
+                    kernel.dtype,
+                    lambda: expand_kernel_packed_2d(kernel, 2))
+                y = jax.lax.conv_general_dilated(
+                    x, ke, (1, 1), [(-t0, kt - 1 + t0)] * 2,
+                    dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+            else:
+                y = dualgrad.conv_packed_2d(x, kernel, 2)
+            y = checkpoint_name(y + jnp.repeat(bias, 4), 'conv_out')
+            y = GroupNorm(num_groups=16, epsilon=1e-5, channel_repeat=4,
+                          name='norm')(y)
+            return nn.elu(y)
         if parts is not None:
             pr = promote_dtype(*parts, kernel, bias, dtype=None)
             parts, kernel, bias = list(pr[:-2]), pr[-2], pr[-1]

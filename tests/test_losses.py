@@ -129,3 +129,42 @@ def test_class_balanced_bce_mask_gating_matches_reference(mask_kind):
     ours = float(jax.jit(class_balanced_bce)(
         jnp.asarray(prob), jnp.asarray(gt), jnp.asarray(mask)))
     assert ours == pytest.approx(expected, rel=1e-5)
+
+
+def test_grad_loss_packed_fast_path_matches_unpacked():
+    """The W-phase-packed grad->sigmoid->BCE fast path == the unpacked
+    formulation (values to float tolerance; the BCE is sum-based and
+    layout-invariant).  Covers both directional (normals) and magnitude."""
+    import jax.numpy as jnp
+    from mindtheedge_tpu.losses.grad_loss import (
+        grad_loss, grad_layer, class_balanced_bce)
+
+    rng = np.random.RandomState(0)
+    B, H, W = 2, 16, 64          # W divisible by 32 -> fast path active
+    out = jnp.asarray(rng.rand(B, H, W, 1).astype(np.float32) * 10)
+    gt = jnp.asarray((rng.rand(B, H, W, 1) > 0.9).astype(np.float32))
+    normals = jnp.asarray(((rng.rand(B, H, W, 1) * 2 - 1) * np.pi)
+                          .astype(np.float32))
+
+    for gn in (None, normals):
+        loss_fast, grad_fast = grad_loss(
+            out, gt, is_grad=True, is_sigmoid=True, sigmoid_thresh=4.0,
+            gt_normals=gn, edge_loss_type='cross_entropy', weight=10.0)
+        mag, _, _ = grad_layer(out, gn)
+        prob = 1.0 / (1.0 + jnp.exp(-(mag - 4.0)))
+        loss_ref = 10.0 * jnp.mean(class_balanced_bce(prob, gt))
+        np.testing.assert_allclose(float(loss_fast), float(loss_ref),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(grad_fast), np.asarray(mag),
+                                   rtol=1e-5, atol=1e-5)
+
+    # odd width -> falls back to the unpacked path (still correct)
+    out_o = out[:, :, :63]
+    gt_o = gt[:, :, :63]
+    l1, _ = grad_loss(out_o, gt_o, is_grad=True, is_sigmoid=True,
+                      edge_loss_type='cross_entropy')
+    mag_o, _, _ = grad_layer(out_o, None)
+    prob_o = 1.0 / (1.0 + jnp.exp(-(mag_o - 4.0)))
+    np.testing.assert_allclose(
+        float(l1), float(jnp.mean(class_balanced_bce(prob_o, gt_o))),
+        rtol=1e-5)
