@@ -43,14 +43,32 @@ def _sobel_bank_packed(x, rw, with_diag):
     """
     import jax
     from mindtheedge_tpu.ops.phase_conv import expand_kernel_phase
+    from mindtheedge_tpu.ops import dualgrad
     kernels = [SOBEL3_V, SOBEL3_H] + ([SOBEL3_LR, SOBEL3_RL] if with_diag else [])
     bank = jnp.stack([jnp.asarray(k, x.dtype) for k in kernels],
                      axis=-1)[:, :, None, :]              # [3,3,1,n]
-    ke = expand_kernel_phase(bank, 1, rw)                 # [3,2+rw,1,n*rw]
-    y = jax.lax.conv_general_dilated(
-        x, ke, (1, rw), [(1, 1), (1, 1)],
-        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-        precision=jax.lax.Precision.HIGHEST)              # [B,H,W/rw,n*rw]
+
+    def primal(x_, k_):
+        ke = expand_kernel_phase(k_, 1, rw)               # [3,2+rw,1,n*rw]
+        return jax.lax.conv_general_dilated(
+            x_, ke, (1, rw), [(1, 1), (1, 1)],
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            precision=jax.lax.Precision.HIGHEST)          # [B,H,W/rw,n*rw]
+
+    def compact(x_, k_):
+        y_ = jax.lax.conv_general_dilated(
+            x_, k_, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            precision=jax.lax.Precision.HIGHEST)          # [B,H,W,n]
+        b_, h_, w_, n_ = y_.shape
+        y_ = y_.reshape(b_, h_, w_ // rw, rw, n_)
+        return y_.transpose(0, 1, 2, 4, 3).reshape(b_, h_, w_ // rw, n_ * rw)
+
+    # ALWAYS the compact backward (not gated on MTE_COMPACT_VJP): the
+    # expanded path's dx is a W-dilation-rw transposed conv — measured as a
+    # +66 ms pathology in the b3 train step — while the compact dx is a
+    # plain stride-1 conv of the (reshaped) cotangent.
+    y = dualgrad._dual(primal, compact)(x, bank)
     return [y[..., i * rw:(i + 1) * rw] for i in range(len(kernels))]
 
 
