@@ -866,10 +866,16 @@ class _PackConvBlock(nn.Module):
             # exact border bands, spliced via dynamic_update_slice (an
             # explicit jnp.pad-to-full-size + where costs 150+ ms on TPU —
             # large-tensor pads are full unaligned relayouts; DUS is ~1 ms)
-            ts = strip_pipe(x[:, :2 * p + 1], 'w')[:, :p]
-            bs = strip_pipe(x[:, h - 2 * p - 1:], 'w')[:, p + 1:]
-            ls = strip_pipe(x[:, :, :2 * p + 1], 'h')[:, :, :p]
-            rs = strip_pipe(x[:, :, w - 2 * p - 1:], 'h')[:, :, p + 1:]
+            # top+bottom (and left+right) strips share a shape: run each
+            # pair as ONE batched pipeline (4 -> 2 conv3d+conv chains; the
+            # strips were ~3.7 of pack2's 5.6 ms, tools/probe_packlayer.py)
+            nb = x.shape[0]
+            tb = strip_pipe(jnp.concatenate(
+                [x[:, :2 * p + 1], x[:, h - 2 * p - 1:]], axis=0), 'w')
+            ts, bs = tb[:nb, :p], tb[nb:, p + 1:]
+            lr = strip_pipe(jnp.concatenate(
+                [x[:, :, :2 * p + 1], x[:, :, w - 2 * p - 1:]], axis=0), 'h')
+            ls, rs = lr[:nb, :, :p], lr[nb:, :, p + 1:]
             y = jax.lax.dynamic_update_slice(y, ts, (0, 0, 0, 0))
             y = jax.lax.dynamic_update_slice(y, bs, (0, h - p, 0, 0))
             y = jax.lax.dynamic_update_slice(y, ls, (0, 0, 0, 0))
